@@ -1,0 +1,235 @@
+"""Configuration system.
+
+Dataclass-first equivalent of the reference's argparse flag system
+(/root/reference/src/options.py:14-474): every reference flag has a field here with the
+same name, default, and semantics, so reference launch commands translate 1:1. A thin
+argparse bridge (`AtlasConfig.arg_parser` / `from_args`) generates CLI flags from the
+dataclass fields, and `finalize()` applies the reference's post-parse rules
+(closed_book overrides, paper-name score-mode aliases, use_file_passages implications;
+options.py:449-466).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+from dataclasses import dataclass, field, fields
+from pathlib import Path
+from typing import List, Optional
+
+logger = logging.getLogger(__name__)
+
+READER_MODEL_CHOICES = [
+    "t5-small",
+    "t5-base",
+    "t5-large",
+    "t5-3b",
+    "t5-11b",
+    "google/t5-v1_1-base",
+    "google/t5-v1_1-large",
+    "google/t5-v1_1-xl",
+    "google/t5-v1_1-xxl",
+    "google/t5-base-lm-adapt",
+    "google/t5-large-lm-adapt",
+    "google/t5-xl-lm-adapt",
+    "google/t5-xxl-lm-adapt",
+]
+
+GOLD_SCORE_MODES = ["evalnormsum", "loop", "ppmean", "emdr", "pdist", "adist"]
+TASKS = ["base", "mlm", "lm", "multiple_choice", "kilt", "section", "fever", "qa"]
+SCHEDULERS = ["linear", "cosine", "fixed"]
+PRECISIONS = ["fp16", "fp32", "bf16"]
+INDEX_MODES = ["flat", "faiss"]
+FAISS_INDEX_TYPES = ["ivfflat", "flat", "ivfsq", "ivfpq", "pq"]
+PERMUTATION_TYPES = ["single", "cyclic", "all"]
+
+
+@dataclass
+class AtlasConfig:
+    """All run options. Field groups mirror options.py's four argparse groups."""
+
+    # --- basic parameters (options.py:19-95) ---
+    name: str = "experiment_name"
+    checkpoint_dir: str = "./checkpoint/"
+    model_path: str = "none"
+    per_gpu_batch_size: int = 1  # kept under the reference name; per-*device* batch size
+    per_gpu_embedder_batch_size: int = 512
+    local_rank: int = -1
+    main_port: int = -1
+    seed: int = 0
+    log_freq: int = 100
+    eval_freq: int = 500
+    save_freq: int = 5000
+    train_data: List[str] = field(default_factory=list)
+    eval_data: List[str] = field(default_factory=list)
+    write_results: bool = False
+    dont_write_passages: bool = False
+
+    # --- optim options (options.py:97-166) ---
+    warmup_steps: int = 1000
+    total_steps: int = 1000
+    scheduler_steps: Optional[int] = None
+    accumulation_steps: int = 1
+    dropout: float = 0.1
+    lr: float = 1e-4
+    lr_retriever: float = 1e-5
+    clip: float = 1.0
+    scheduler: str = "cosine"
+    weight_decay: float = 0.1
+    save_optimizer: bool = False
+    epsilon: float = 1e-6
+    alpha: float = 1.0
+    beta2: float = 0.999
+    refresh_index: str = "-1"
+    shuffle: bool = False
+    precision: str = "bf16"  # bf16 is native on TPU (reference default fp32)
+    shard_optim: bool = False
+    shard_grads: bool = False
+    use_gradient_checkpoint_reader: bool = False
+    use_gradient_checkpoint_retriever: bool = False
+
+    # --- modeling options (options.py:168-395) ---
+    reader_model_type: str = "google/t5-base-lm-adapt"
+    text_maxlength: int = 200
+    target_maxlength: Optional[int] = None
+    n_context: int = 1
+    passages: List[str] = field(default_factory=list)
+    max_passages: int = -1
+    retriever_model_path: str = "facebook/contriever"
+    retrieve_only: bool = False
+    train_retriever: bool = False
+    use_file_passages: bool = False
+    retriever_n_context: int = 5
+    gold_score_mode: str = "ppmean"
+    closed_book: bool = False
+    temperature_score: float = 0.01
+    temperature_gold: float = 0.01
+    compute_crossattention_stats: bool = False
+    filtering_overretrieve_ratio: int = 2
+    freeze_retriever_steps: int = -1
+    query_side_retriever_training: bool = False
+    retrieve_with_rerank: bool = False
+    n_to_rerank_with_retrieve_with_rerank: int = 128
+    decoder_format: Optional[str] = None
+    decoder_prompt_format: Optional[str] = None
+    encoder_format: str = "{query} title: {title} context: {text}"
+    retriever_format: str = "{title} {text}"
+    generation_max_length: int = 128
+    generation_min_length: Optional[int] = None
+    generation_length_penalty: float = 1.0
+    generation_num_beams: int = 1
+    task: Optional[str] = None
+    mlm_noise_density: float = 0.15
+    mlm_mean_noise_span_length: float = 3
+    min_words_per_lm_instance: Optional[int] = None
+    min_lm_context_ratio: float = 0.5
+    max_lm_context_ratio: float = 0.5
+    qa_prompt_format: str = "question: {question} answer: <extra_id_0>"
+    multiple_choice_num_options: int = 4
+    multiple_choice_train_permutations: str = "single"
+    multiple_choice_eval_permutations: str = "single"
+
+    # --- index options (options.py:397-431) ---
+    load_index_path: Optional[str] = None
+    save_index_path: Optional[str] = None
+    save_index_n_shards: int = 128
+    index_mode: str = "flat"
+    faiss_index_type: str = "flat"
+    faiss_code_size: Optional[int] = None
+
+    # --- TPU-native additions (no reference equivalent) ---
+    # Device mesh: data-parallel axis x model-parallel axis. dp_size=-1 means
+    # "all devices / mp_size". The passage index is always sharded over the full mesh.
+    dp_size: int = -1
+    mp_size: int = 1
+    # Use Pallas kernels on TPU for hot ops (flash attention, fused MIPS top-k).
+    use_pallas: bool = True
+    # Bucketed padding sizes used to keep XLA shapes static across steps.
+    generation_bucket: int = 0  # 0 = use generation_max_length
+
+    # --- runtime-derived fields (populated by the runtime, not flags) ---
+    is_main: bool = True
+    is_distributed: bool = False
+    global_rank: int = 0
+    world_size: int = 1
+
+    def finalize(self) -> "AtlasConfig":
+        """Post-parse mutual-exclusion rules (options.py:449-466)."""
+        if self.closed_book:
+            self.n_context = 1
+            self.retriever_n_context = 1
+            self.encoder_format = "{query}"
+            self.use_file_passages = True
+        if self.gold_score_mode == "pdist":
+            self.gold_score_mode = "ppmean"
+        if self.gold_score_mode == "adist":
+            self.gold_score_mode = "evalnormsum"
+        if self.use_file_passages:
+            self.train_retriever = False
+            self.query_side_retriever_training = False
+            self.use_gradient_checkpoint_retriever = False
+        return self
+
+    # ------------------------------------------------------------------ argparse
+    _CHOICES = {
+        "scheduler": SCHEDULERS,
+        "precision": PRECISIONS,
+        "reader_model_type": READER_MODEL_CHOICES,
+        "gold_score_mode": GOLD_SCORE_MODES,
+        "task": TASKS,
+        "index_mode": INDEX_MODES,
+        "faiss_index_type": FAISS_INDEX_TYPES,
+        "multiple_choice_train_permutations": PERMUTATION_TYPES,
+        "multiple_choice_eval_permutations": PERMUTATION_TYPES,
+    }
+    _RUNTIME_FIELDS = {"is_main", "is_distributed", "global_rank", "world_size"}
+
+    @classmethod
+    def arg_parser(cls) -> argparse.ArgumentParser:
+        parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+        for f in fields(cls):
+            if f.name in cls._RUNTIME_FIELDS:
+                continue
+            flag = f"--{f.name}"
+            default = f.default if f.default is not dataclasses.MISSING else None
+            if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
+                default = f.default_factory()  # type: ignore[misc]
+            if f.type in ("bool", bool):
+                parser.add_argument(flag, action="store_true", default=bool(default))
+            elif f.type in ("List[str]", List[str]):
+                parser.add_argument(flag, nargs="+", default=default)
+            elif f.type in ("Optional[int]",):
+                parser.add_argument(flag, type=int, default=default)
+            elif f.type in ("Optional[float]",):
+                parser.add_argument(flag, type=float, default=default)
+            elif f.type in ("Optional[str]",):
+                parser.add_argument(flag, type=str, default=default, choices=cls._CHOICES.get(f.name))
+            elif f.type in ("int", int):
+                parser.add_argument(flag, type=int, default=default)
+            elif f.type in ("float", float):
+                parser.add_argument(flag, type=float, default=default)
+            else:
+                parser.add_argument(flag, type=str, default=default, choices=cls._CHOICES.get(f.name))
+        return parser
+
+    @classmethod
+    def from_args(cls, argv: Optional[List[str]] = None) -> "AtlasConfig":
+        ns = cls.arg_parser().parse_args(argv)
+        cfg = cls(**vars(ns))
+        return cfg.finalize()
+
+    def dump(self, path: Optional[str] = None) -> str:
+        """Render options (marking non-defaults) like options.py:433-447."""
+        default = AtlasConfig()
+        lines = ["\n"]
+        for f in sorted(fields(self), key=lambda f: f.name):
+            v = getattr(self, f.name)
+            dv = getattr(default, f.name)
+            comment = f"\t(default: {dv})" if v != dv else ""
+            lines.append(f"{f.name:>40}: {str(v):<40}{comment}")
+        message = "\n".join(lines)
+        if path is not None:
+            Path(path).parent.mkdir(parents=True, exist_ok=True)
+            Path(path).write_text(message + "\n")
+        return message

@@ -1,0 +1,26 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+This is the TPU-native answer to "how do you test multi-node logic without a cluster"
+(SURVEY.md §4): XLA exposes N host-platform devices, so pjit/shard_map code paths run
+exactly as they would on an 8-chip slice.
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    d = jax.devices()
+    assert len(d) == 8, f"expected 8 virtual devices, got {len(d)}"
+    return d
