@@ -1,0 +1,451 @@
+"""T5 v1.1 / original-T5 encoder-decoder as pure-functional JAX.
+
+Behavioral reference: the vendored transformers-4.18 T5 fork
+(/root/reference/src/modeling_t5.py: T5Attention :314, RMSNorm :235, T5Block :602,
+T5Stack :816, T5ForConditionalGeneration :1440). TPU-first design choices, not a port:
+
+- Parameters are nested dict pytrees with all layers STACKED on a leading axis and the
+  stack driven by `jax.lax.scan` — one compiled block regardless of depth (fast XLA
+  compiles, natural `jax.checkpoint` remat boundary, scan `ys` give per-layer
+  cross-attention stats functionally instead of the reference's monkey-patched
+  module-attribute storage, fid.py:221-357).
+- bf16-friendly: softmax and layernorm statistics accumulate in fp32; no fp16 inf
+  clamps needed (the reference's clamp_value blocks, modeling_t5.py:659-708, are an
+  fp16 artifact).
+- Matmuls hit the MXU via jnp.einsum with fp32 accumulation.
+
+Weight convention: all projection matrices are (in_features, out_features), i.e. y=x@W.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from atlas_tpu.ops.attention import (
+    NEG_INF,
+    dot_product_attention,
+    make_attention_bias,
+    make_causal_bias,
+)
+
+IGNORE_INDEX = -100
+
+
+@dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 768
+    d_kv: int = 64
+    d_ff: int = 2048
+    num_layers: int = 12
+    num_decoder_layers: int = 12
+    num_heads: int = 12
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    dropout_rate: float = 0.1
+    layer_norm_epsilon: float = 1e-6
+    feed_forward_proj: str = "gated-gelu"  # "gated-gelu" (v1.1) or "relu" (original)
+    tie_word_embeddings: bool = False  # True for original t5-*
+    decoder_start_token_id: int = 0
+    pad_token_id: int = 0
+    dtype: Any = jnp.float32  # activation dtype
+    remat: bool = False  # jax.checkpoint each layer block
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_heads * self.d_kv
+
+
+# Architecture table for the reference's supported reader types (options.py:174-188).
+_T5_SIZES = {
+    # name: (d_model, d_kv, d_ff, layers, heads, ffn, tied)
+    "t5-small": (512, 64, 2048, 6, 8, "relu", True),
+    "t5-base": (768, 64, 3072, 12, 12, "relu", True),
+    "t5-large": (1024, 64, 4096, 24, 16, "relu", True),
+    "t5-3b": (1024, 128, 16384, 24, 32, "relu", True),
+    "t5-11b": (1024, 128, 65536, 24, 128, "relu", True),
+    "google/t5-v1_1-base": (768, 64, 2048, 12, 12, "gated-gelu", False),
+    "google/t5-v1_1-large": (1024, 64, 2816, 24, 16, "gated-gelu", False),
+    "google/t5-v1_1-xl": (2048, 64, 5120, 24, 32, "gated-gelu", False),
+    "google/t5-v1_1-xxl": (4096, 64, 10240, 24, 64, "gated-gelu", False),
+}
+# lm-adapt variants share v1.1 architecture
+for _size in ("base", "large", "xl", "xxl"):
+    _T5_SIZES[f"google/t5-{_size}-lm-adapt"] = _T5_SIZES[f"google/t5-v1_1-{_size}"]
+
+
+def t5_config_for(model_type: str, **overrides) -> T5Config:
+    d_model, d_kv, d_ff, layers, heads, ffn, tied = _T5_SIZES[model_type]
+    cfg = T5Config(
+        d_model=d_model,
+        d_kv=d_kv,
+        d_ff=d_ff,
+        num_layers=layers,
+        num_decoder_layers=layers,
+        num_heads=heads,
+        feed_forward_proj=ffn,
+        tie_word_embeddings=tied,
+    )
+    return dataclasses.replace(cfg, **overrides)
+
+
+# ----------------------------------------------------------------------- primitives
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """T5 RMSNorm (modeling_t5.py:235): no mean subtraction, no bias; fp32 variance."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return (weight * xf.astype(weight.dtype)).astype(x.dtype)
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, l, _ = x.shape
+    return x.reshape(b, l, num_heads, -1).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, l, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, h * d)
+
+
+def relative_position_bucket(
+    relative_position: jnp.ndarray, bidirectional: bool, num_buckets: int, max_distance: int
+) -> jnp.ndarray:
+    """T5 log-spaced relative-position bucketing (modeling_t5.py T5Attention.compute_bias)."""
+    relative_buckets = jnp.zeros_like(relative_position)
+    if bidirectional:
+        num_buckets //= 2
+        relative_buckets += (relative_position > 0).astype(jnp.int32) * num_buckets
+        relative_position = jnp.abs(relative_position)
+    else:
+        relative_position = -jnp.minimum(relative_position, 0)
+    max_exact = num_buckets // 2
+    is_small = relative_position < max_exact
+    scale = (num_buckets - max_exact) / math.log(max_distance / max_exact)
+    rp_large = max_exact + (
+        jnp.log(jnp.maximum(relative_position, 1).astype(jnp.float32) / max_exact) * scale
+    ).astype(jnp.int32)
+    rp_large = jnp.minimum(rp_large, num_buckets - 1)
+    relative_buckets += jnp.where(is_small, relative_position, rp_large)
+    return relative_buckets
+
+
+def compute_position_bias(
+    rel_bias_emb: jnp.ndarray,  # (num_buckets, num_heads)
+    query_positions: jnp.ndarray,  # (Lq,)
+    key_positions: jnp.ndarray,  # (Lk,)
+    bidirectional: bool,
+    num_buckets: int,
+    max_distance: int,
+) -> jnp.ndarray:
+    """-> (1, H, Lq, Lk) additive bias."""
+    relative_position = key_positions[None, :] - query_positions[:, None]
+    buckets = relative_position_bucket(relative_position, bidirectional, num_buckets, max_distance)
+    bias = rel_bias_emb[buckets]  # (Lq, Lk, H)
+    return bias.transpose(2, 0, 1)[None]
+
+
+# ----------------------------------------------------------------------------- init
+
+
+def _normal(rng, shape, std, dtype=jnp.float32):
+    return std * jax.random.normal(rng, shape, dtype=dtype)
+
+
+def _init_attn(rng, cfg: T5Config):
+    rq, rk, rv, ro = jax.random.split(rng, 4)
+    d, i = cfg.d_model, cfg.inner_dim
+    return {
+        "q": _normal(rq, (d, i), (d * cfg.d_kv) ** -0.5),
+        "k": _normal(rk, (d, i), d**-0.5),
+        "v": _normal(rv, (d, i), d**-0.5),
+        "o": _normal(ro, (i, d), i**-0.5),
+    }
+
+
+def _init_ffn(rng, cfg: T5Config):
+    r0, r1, r2 = jax.random.split(rng, 3)
+    d, f = cfg.d_model, cfg.d_ff
+    if cfg.feed_forward_proj == "gated-gelu":
+        return {
+            "wi_0": _normal(r0, (d, f), d**-0.5),
+            "wi_1": _normal(r1, (d, f), d**-0.5),
+            "wo": _normal(r2, (f, d), f**-0.5),
+        }
+    return {"wi": _normal(r0, (d, f), d**-0.5), "wo": _normal(r2, (f, d), f**-0.5)}
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def init_t5(rng: jax.Array, cfg: T5Config) -> Dict[str, Any]:
+    keys = jax.random.split(rng, 8)
+    d = cfg.d_model
+    enc_layers = _stack(
+        [
+            {
+                "self_attn": _init_attn(jax.random.fold_in(keys[1], i), cfg),
+                "ln1": jnp.ones((d,)),
+                "ffn": _init_ffn(jax.random.fold_in(keys[2], i), cfg),
+                "ln2": jnp.ones((d,)),
+            }
+            for i in range(cfg.num_layers)
+        ]
+    )
+    dec_layers = _stack(
+        [
+            {
+                "self_attn": _init_attn(jax.random.fold_in(keys[3], i), cfg),
+                "ln1": jnp.ones((d,)),
+                "cross_attn": _init_attn(jax.random.fold_in(keys[4], i), cfg),
+                "ln2": jnp.ones((d,)),
+                "ffn": _init_ffn(jax.random.fold_in(keys[5], i), cfg),
+                "ln3": jnp.ones((d,)),
+            }
+            for i in range(cfg.num_decoder_layers)
+        ]
+    )
+    params = {
+        "shared": _normal(keys[0], (cfg.vocab_size, d), 1.0),
+        "encoder": {
+            "rel_bias": _normal(keys[6], (cfg.relative_attention_num_buckets, cfg.num_heads), d**-0.5),
+            "layers": enc_layers,
+            "final_ln": jnp.ones((d,)),
+        },
+        "decoder": {
+            "rel_bias": _normal(keys[7], (cfg.relative_attention_num_buckets, cfg.num_heads), d**-0.5),
+            "layers": dec_layers,
+            "final_ln": jnp.ones((d,)),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _normal(jax.random.fold_in(keys[0], 1), (d, cfg.vocab_size), d**-0.5)
+    return params
+
+
+# -------------------------------------------------------------------------- dropout
+
+
+def _dropout(x, rate, deterministic, rng):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _ffn_apply(ffn, x, cfg: T5Config, deterministic, rng):
+    if cfg.feed_forward_proj == "gated-gelu":
+        h = jax.nn.gelu(x @ ffn["wi_0"], approximate=True) * (x @ ffn["wi_1"])
+    else:
+        h = jax.nn.relu(x @ ffn["wi"])
+    h = _dropout(h, cfg.dropout_rate, deterministic, rng)
+    return h.astype(x.dtype) @ ffn["wo"]
+
+
+def _attn_apply(attn, x, kv, bias, cfg: T5Config, deterministic, rng, return_stats=False):
+    q = _split_heads(x @ attn["q"], cfg.num_heads)
+    k = _split_heads(kv @ attn["k"], cfg.num_heads)
+    v = _split_heads(kv @ attn["v"], cfg.num_heads)
+    out = dot_product_attention(
+        q, k, v, bias=bias, dropout_rate=cfg.dropout_rate,
+        deterministic=deterministic, dropout_rng=rng, return_stats=return_stats,
+    )
+    if return_stats:
+        out, stats = out
+        return _merge_heads(out) @ attn["o"], stats
+    return _merge_heads(out) @ attn["o"]
+
+
+# -------------------------------------------------------------------------- encoder
+
+
+def t5_encode(
+    params: Dict[str, Any],
+    cfg: T5Config,
+    input_ids: jnp.ndarray,  # (B, L)
+    attention_mask: jnp.ndarray,  # (B, L)
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """-> (B, L, d_model) final hidden states (after final RMSNorm + dropout)."""
+    L = input_ids.shape[1]
+    x = jnp.take(params["shared"], input_ids, axis=0).astype(cfg.dtype)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rng, r0 = jax.random.split(rng)
+    x = _dropout(x, cfg.dropout_rate, deterministic, r0)
+
+    positions = jnp.arange(L)
+    pos_bias = compute_position_bias(
+        params["encoder"]["rel_bias"].astype(jnp.float32),
+        positions,
+        positions,
+        bidirectional=True,
+        num_buckets=cfg.relative_attention_num_buckets,
+        max_distance=cfg.relative_attention_max_distance,
+    )
+    bias = pos_bias + make_attention_bias(attention_mask)  # (B, H, L, L)
+
+    def layer(carry, lp):
+        x, rng = carry
+        rng, r1, r2, r3, r4 = jax.random.split(rng, 5)
+        h = rms_norm(x, lp["ln1"], cfg.layer_norm_epsilon)
+        h = _attn_apply(lp["self_attn"], h, h, bias, cfg, deterministic, r1)
+        x = x + _dropout(h, cfg.dropout_rate, deterministic, r2)
+        h = rms_norm(x, lp["ln2"], cfg.layer_norm_epsilon)
+        h = _ffn_apply(lp["ffn"], h, cfg, deterministic, r3)
+        x = x + _dropout(h, cfg.dropout_rate, deterministic, r4)
+        return (x, rng), None
+
+    if cfg.remat:
+        layer = jax.checkpoint(layer)
+    (x, _), _ = jax.lax.scan(layer, (x, rng), params["encoder"]["layers"])
+
+    x = rms_norm(x, params["encoder"]["final_ln"], cfg.layer_norm_epsilon)
+    rng, r5 = jax.random.split(rng)
+    return _dropout(x, cfg.dropout_rate, deterministic, r5)
+
+
+# -------------------------------------------------------------------------- decoder
+
+
+def t5_decode(
+    params: Dict[str, Any],
+    cfg: T5Config,
+    decoder_input_ids: jnp.ndarray,  # (B, Lt)
+    encoder_hidden: jnp.ndarray,  # (B, Lk, D)
+    encoder_mask: jnp.ndarray,  # (B, Lk)
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    capture_cross_attn: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Dict[str, jnp.ndarray]]]:
+    """-> (B, Lt, vocab) logits, plus per-layer cross-attention stats when captured.
+
+    Stats dict values are (n_layers, B, Lt, Lk): scores (head-mean raw scores incl.
+    mask), probs (head-mean softmax), norms (head-mean ||v||*prob) — the three
+    storages of fid.py:335-341 — produced as scan ys instead of module attributes.
+    """
+    B, Lt = decoder_input_ids.shape
+    x = jnp.take(params["shared"], decoder_input_ids, axis=0).astype(cfg.dtype)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    rng, r0 = jax.random.split(rng)
+    x = _dropout(x, cfg.dropout_rate, deterministic, r0)
+
+    positions = jnp.arange(Lt)
+    self_bias = compute_position_bias(
+        params["decoder"]["rel_bias"].astype(jnp.float32),
+        positions,
+        positions,
+        bidirectional=False,
+        num_buckets=cfg.relative_attention_num_buckets,
+        max_distance=cfg.relative_attention_max_distance,
+    ) + make_causal_bias(Lt)
+    cross_bias = make_attention_bias(encoder_mask)  # (B,1,1,Lk)
+    enc = encoder_hidden.astype(cfg.dtype)
+
+    def layer(carry, lp):
+        x, rng = carry
+        rng, r1, r2, r3, r4, r5, r6 = jax.random.split(rng, 7)
+        h = rms_norm(x, lp["ln1"], cfg.layer_norm_epsilon)
+        h = _attn_apply(lp["self_attn"], h, h, self_bias, cfg, deterministic, r1)
+        x = x + _dropout(h, cfg.dropout_rate, deterministic, r2)
+        h = rms_norm(x, lp["ln2"], cfg.layer_norm_epsilon)
+        if capture_cross_attn:
+            h, stats = _attn_apply(
+                lp["cross_attn"], h, enc, cross_bias, cfg, deterministic, r3, return_stats=True
+            )
+        else:
+            h = _attn_apply(lp["cross_attn"], h, enc, cross_bias, cfg, deterministic, r3)
+            stats = None
+        x = x + _dropout(h, cfg.dropout_rate, deterministic, r4)
+        h = rms_norm(x, lp["ln3"], cfg.layer_norm_epsilon)
+        h = _ffn_apply(lp["ffn"], h, cfg, deterministic, r5)
+        x = x + _dropout(h, cfg.dropout_rate, deterministic, r6)
+        return (x, rng), stats
+
+    if cfg.remat:
+        layer = jax.checkpoint(layer)
+    (x, _), stats = jax.lax.scan(layer, (x, rng), params["decoder"]["layers"])
+
+    x = rms_norm(x, params["decoder"]["final_ln"], cfg.layer_norm_epsilon)
+    rng, r7 = jax.random.split(rng)
+    x = _dropout(x, cfg.dropout_rate, deterministic, r7)
+
+    logits = _lm_logits(params, cfg, x)
+    stats_dict = None
+    if capture_cross_attn:
+        stats_dict = {"scores": stats[0], "probs": stats[1], "norms": stats[2]}
+    return logits, stats_dict
+
+
+def _lm_logits(params, cfg: T5Config, x: jnp.ndarray) -> jnp.ndarray:
+    if cfg.tie_word_embeddings:
+        # modeling_t5.py: sequence_output * d_model**-0.5 @ shared.T when tied
+        x = x * (cfg.d_model**-0.5)
+        return jnp.einsum("bld,vd->blv", x, params["shared"].astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("bld,dv->blv", x, params["lm_head"].astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+# ------------------------------------------------------------------ loss / helpers
+
+
+def shift_right(input_ids: jnp.ndarray, cfg: T5Config) -> jnp.ndarray:
+    """T5 _shift_right: prepend decoder_start_token, drop last, -100 -> pad."""
+    shifted = jnp.concatenate(
+        [jnp.full_like(input_ids[:, :1], cfg.decoder_start_token_id), input_ids[:, :-1]], axis=1
+    )
+    return jnp.where(shifted == IGNORE_INDEX, cfg.pad_token_id, shifted)
+
+
+def cross_entropy(
+    logits: jnp.ndarray,  # (..., V) fp32
+    labels: jnp.ndarray,  # (...), IGNORE_INDEX-masked
+    reduction: str = "mean",
+) -> jnp.ndarray:
+    """Token CE with ignore_index semantics matching torch F.cross_entropy."""
+    mask = labels != IGNORE_INDEX
+    safe_labels = jnp.where(mask, labels, 0)
+    logz = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    gold = jnp.take_along_axis(
+        logits.astype(jnp.float32), safe_labels[..., None], axis=-1
+    ).squeeze(-1)
+    nll = (logz - gold) * mask
+    if reduction == "none":
+        return nll
+    return nll.sum() / jnp.maximum(mask.sum(), 1)
+
+
+def t5_forward(
+    params,
+    cfg: T5Config,
+    input_ids,
+    attention_mask,
+    decoder_input_ids,
+    labels=None,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    capture_cross_attn: bool = False,
+):
+    """Full encoder-decoder forward. Returns (loss_or_None, logits, cross_attn_stats)."""
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    enc = t5_encode(params, cfg, input_ids, attention_mask, deterministic, r1)
+    logits, stats = t5_decode(
+        params, cfg, decoder_input_ids, enc, attention_mask,
+        deterministic=deterministic, rng=r2, capture_cross_attn=capture_cross_attn,
+    )
+    loss = cross_entropy(logits, labels) if labels is not None else None
+    return loss, logits, stats

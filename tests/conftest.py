@@ -9,12 +9,16 @@ Must set env vars before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override any preset TPU platform for tests
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# XLA-CPU's oneDNN fast path computes fp32 matmuls in reduced precision by default;
+# parity tests against torch need true fp32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 
