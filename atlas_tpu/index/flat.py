@@ -1,0 +1,240 @@
+"""Flat exact-MIPS distributed index, device-resident and mesh-sharded.
+
+Behavioral reference: DistributedIndex (/root/reference/src/index.py:43-160) — one
+embedding shard per worker, exact inner-product scan + top-k, cross-worker merge,
+re-shardable save/load. TPU-native redesign:
+
+- Embeddings live as ONE jax array (N_pad, dim) row-sharded over the full ("dp","mp")
+  mesh (index.py:51-53 keeps a (dim, N/W) fp16 tensor per rank).
+- search is ONE jitted shard_map: local scores q @ E_shardᵀ on the MXU + lax.top_k,
+  then an all_gather of (scores, global ids) over ICI and a re-top-k merge
+  (replaces the varsize_all_gather / pickle-over-NCCL protocol of index.py:123-157;
+  passage payloads are resolved host-side from global ids — see docstore.py).
+- On TPU the local scan can use the fused Pallas tile-scan+top-k kernel
+  (atlas_tpu/ops/mips.py) instead of materializing the (B, N_shard) score matrix.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import math
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from atlas_tpu.index.docstore import DocStore
+from atlas_tpu.parallel.mesh import get_mesh
+
+logger = logging.getLogger(__name__)
+
+EMBEDDINGS_DIM = 768
+NEG = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class DistributedIndex:
+    """Flat exact MIPS over a mesh-sharded embedding matrix."""
+
+    def __init__(self, mesh: Optional[Mesh] = None, dtype=jnp.bfloat16):
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.dtype = dtype
+        self.embeddings: Optional[jax.Array] = None  # (N_pad, dim), sharded
+        self.doc_store: Optional[DocStore] = None
+        self.n_total = 0
+        self.dim = EMBEDDINGS_DIM
+        self._search_fn = None
+
+    # ----------------------------------------------------------------- lifecycle
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.devices.size
+
+    @property
+    def sharding(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P(("dp", "mp"), None))
+
+    def init_embeddings(self, passages: Sequence[dict], dim: int = EMBEDDINGS_DIM) -> None:
+        """Allocate the zeroed sharded embedding matrix + doc store (index.py:49-53)."""
+        self.dim = dim
+        self.n_total = len(passages) * jax.process_count()  # local shards of a global corpus
+        if jax.process_count() == 1:
+            self.n_total = len(passages)
+        n_pad = _round_up(max(self.n_total, self.n_devices), self.n_devices)
+        self.embeddings = jax.jit(
+            lambda: jnp.zeros((n_pad, dim), dtype=self.dtype),
+            out_shardings=self.sharding,
+        )()
+        row_offset = jax.process_index() * len(passages)
+        self.doc_store = DocStore(passages, row_offset=row_offset, n_total=self.n_total)
+        self._search_fn = None
+
+    @property
+    def n_pad(self) -> int:
+        return 0 if self.embeddings is None else self.embeddings.shape[0]
+
+    def set_embeddings(self, embeddings: jax.Array) -> None:
+        """Install a freshly computed (N_pad, dim) sharded matrix (refresh hot-swap)."""
+        assert embeddings.shape == (self.n_pad, self.dim), embeddings.shape
+        self.embeddings = embeddings
+        self._search_fn = None
+
+    def write_embeddings_rows(self, start: int, rows: jax.Array) -> None:
+        """In-place row-range update (refresh writes, atlas.py:79 semantics).
+
+        Donates the old buffer so XLA updates the shards without a 2x HBM copy.
+        """
+        upd = jax.jit(
+            lambda e, r: jax.lax.dynamic_update_slice(e, r.astype(e.dtype), (start, 0)),
+            donate_argnums=0,
+            out_shardings=self.sharding,
+        )
+        self.embeddings = upd(self.embeddings, rows)
+        self._search_fn = None
+
+    def is_index_trained(self) -> bool:
+        return True
+
+    def train_index(self) -> None:  # flat index needs no training
+        return None
+
+    # -------------------------------------------------------------------- search
+
+    def _build_search(self, topk: int):
+        mesh, n_total, n_pad = self.mesh, self.n_total, self.n_pad
+        n_dev = self.n_devices
+        shard_rows = n_pad // n_dev
+        k_local = min(topk, shard_rows)
+
+        def local_search(queries, emb_shard):
+            # queries (B, D) replicated; emb_shard (shard_rows, D)
+            dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
+            scores = jax.lax.dot_general(
+                queries.astype(self.dtype), emb_shard,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B, shard_rows)
+            gids = dev * shard_rows + jnp.arange(shard_rows)
+            scores = jnp.where(gids[None, :] < n_total, scores, NEG)
+            vals, idx = jax.lax.top_k(scores, k_local)  # (B, k_local)
+            gidx = dev * shard_rows + idx
+            # merge over the full mesh: (n_dev, B, k_local)
+            vals_all = jax.lax.all_gather(vals, ("dp", "mp"))
+            gidx_all = jax.lax.all_gather(gidx, ("dp", "mp"))
+            B = queries.shape[0]
+            vals_all = vals_all.transpose(1, 0, 2).reshape(B, n_dev * k_local)
+            gidx_all = gidx_all.transpose(1, 0, 2).reshape(B, n_dev * k_local)
+            mvals, mpos = jax.lax.top_k(vals_all, topk)
+            mgids = jnp.take_along_axis(gidx_all, mpos, axis=1)
+            return mvals, mgids
+
+        shmapped = jax.shard_map(
+            local_search,
+            mesh=mesh,
+            in_specs=(P(), P(("dp", "mp"), None)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(shmapped)
+
+    def device_search(self, queries: jax.Array, topk: int) -> Tuple[jax.Array, jax.Array]:
+        """(B, D) queries -> (scores (B,k) fp32, global ids (B,k) int32), one jit."""
+        if self._search_fn is None:
+            self._search_fn = functools.cache(self._build_search)
+        return self._search_fn(topk)(queries, self.embeddings)
+
+    def search_knn(self, queries, topk: int) -> Tuple[List[List[dict]], List[List[float]]]:
+        """API-parity wrapper (index.py:122-157): resolve docs host-side by global id."""
+        queries = jnp.asarray(queries)
+        if queries.shape[0] == 0:
+            return [], []
+        k = min(topk, self.n_total)
+        scores, gids = self.device_search(queries, k)
+        scores_np, gids_np = np.asarray(scores), np.asarray(gids)
+        docs = self.doc_store.lookup_batch(gids_np)
+        return docs, [list(map(float, row)) for row in scores_np]
+
+    # ------------------------------------------------------------------------ io
+
+    def _emb_path(self, d: str, shard: int) -> str:
+        return os.path.join(d, f"embeddings.{shard}.npy")
+
+    def _psg_path(self, d: str, shard: int) -> str:
+        return os.path.join(d, f"passages.{shard}.jsonl")
+
+    def _meta_path(self, d: str) -> str:
+        return os.path.join(d, "index_meta.json")
+
+    def save_index(self, path: str, total_saved_shards: int, overwrite_saved_passages: bool = False) -> None:
+        """Save embeddings+passages in total_saved_shards re-shardable files
+        (semantics of index.py:61-87; our format: .npy + .jsonl + meta)."""
+        assert self.embeddings is not None
+        os.makedirs(path, exist_ok=True)
+        ws = jax.process_count()
+        rank = jax.process_index()
+        assert total_saved_shards % ws == 0, "N workers must divide total_saved_shards"
+        shards_per_worker = total_saved_shards // ws
+        # local rows of the global matrix (contiguous per process, device order)
+        rows_per_proc = self.n_pad // ws
+        local = np.asarray(
+            jax.device_get(self.embeddings[rank * rows_per_proc : (rank + 1) * rows_per_proc])
+            if ws == 1
+            else np.concatenate([s.data for s in sorted(self.embeddings.addressable_shards, key=lambda s: s.index[0].start)])
+        ).astype(np.float16)
+        n_local_valid = min(self.doc_store.n_local, local.shape[0])
+        local = local[:n_local_valid]
+        per_shard = math.ceil(n_local_valid / shards_per_worker)
+        for si, start in enumerate(range(0, n_local_valid, per_shard)):
+            end = min(start + per_shard, n_local_valid)
+            shard_id = si + rank * shards_per_worker
+            np.save(self._emb_path(path, shard_id), local[start:end])
+            ppath = self._psg_path(path, shard_id)
+            if not os.path.exists(ppath) or overwrite_saved_passages:
+                with open(ppath, "w", encoding="utf-8") as f:
+                    for p in self.doc_store.passages[start:end]:
+                        f.write(json.dumps(p, ensure_ascii=False) + "\n")
+        if rank == 0:
+            with open(self._meta_path(path), "w") as f:
+                json.dump({"n_total": self.n_total, "dim": self.dim, "total_saved_shards": total_saved_shards}, f)
+
+    def load_index(self, path: str, total_saved_shards: int) -> None:
+        """Load shard files, re-sharding across the current world (index.py:89-111)."""
+        ws = jax.process_count()
+        rank = jax.process_index()
+        assert total_saved_shards % ws == 0, "N workers must divide total_saved_shards"
+        shards_per_worker = total_saved_shards // ws
+        embs, passages = [], []
+        for shard_id in range(rank * shards_per_worker, (rank + 1) * shards_per_worker):
+            embs.append(np.load(self._emb_path(path, shard_id)))
+            with open(self._psg_path(path, shard_id), encoding="utf-8") as f:
+                passages.extend(json.loads(line) for line in f)
+        local = np.concatenate(embs, axis=0)
+        with open(self._meta_path(path)) as f:
+            meta = json.load(f)
+        self.dim = meta["dim"]
+        self.n_total = meta["n_total"]
+        n_pad = _round_up(max(self.n_total, self.n_devices), self.n_devices)
+        padded = np.zeros((n_pad // ws, self.dim), dtype=np.float16)
+        padded[: local.shape[0]] = local
+        row_offset = rank * (n_pad // ws)
+        self.doc_store = DocStore(passages, row_offset=row_offset, n_total=self.n_total)
+        self.embeddings = jax.jit(
+            lambda x: x.astype(self.dtype), out_shardings=self.sharding
+        )(jnp.asarray(padded) if ws == 1 else self._from_process_local(padded, n_pad))
+        self._search_fn = None
+
+    def _from_process_local(self, local_rows: np.ndarray, n_pad: int) -> jax.Array:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            local_rows, self.mesh, P(("dp", "mp"), None)
+        )

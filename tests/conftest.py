@@ -16,6 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores the env var; force the platform through the config too.
+jax.config.update("jax_platforms", "cpu")
 # XLA-CPU's oneDNN fast path computes fp32 matmuls in reduced precision by default;
 # parity tests against torch need true fp32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
