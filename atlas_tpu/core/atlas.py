@@ -1,0 +1,392 @@
+"""Atlas model core: retriever + index + FiD reader orchestration.
+
+Behavioral reference: /root/reference/src/atlas.py:42-636. Split into a host side
+(tokenization/formatting, retrieval-result handling — the reference does this inline
+in forward, atlas.py:399-444) and pure jitted device functions (embedding, search,
+joint loss). Tokenization pads to static max lengths so every device call hits a
+cached XLA executable.
+
+Params pytree: {"reader": t5 params, "retriever": contriever params} — fp32 masters;
+forward casts to the configured compute dtype (bf16 on TPU), which together with the
+fp32 optimizer state reproduces AdamWFP32Copy semantics (src/AdamWFP32Copy.py:110-167)
+without a custom optimizer.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import math
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from atlas_tpu.config import AtlasConfig
+from atlas_tpu.core import losses as L
+from atlas_tpu.models.bert import BertConfig
+from atlas_tpu.models.contriever import retriever_embed
+from atlas_tpu.models.fid import fid_forward, get_crossattention_scores, select_crossattention_scores
+from atlas_tpu.models.t5 import T5Config, cross_entropy, shift_right
+
+logger = logging.getLogger(__name__)
+
+IGNORE_INDEX = -100
+BERT_MAX_SEQ_LENGTH = 512
+
+
+def _dtype_of(precision: str):
+    return {"bf16": jnp.bfloat16, "fp16": jnp.float16, "fp32": jnp.float32}[precision]
+
+
+class Atlas:
+    def __init__(
+        self,
+        cfg: AtlasConfig,
+        reader_cfg: Optional[T5Config],
+        reader_params: Optional[Dict[str, Any]],
+        retriever_cfg: Optional[BertConfig],
+        retriever_params: Optional[Dict[str, Any]],
+        reader_tokenizer,
+        retriever_tokenizer,
+    ):
+        self.cfg = cfg
+        self.reader_cfg = reader_cfg
+        self.reader_params = reader_params
+        self.retriever_cfg = retriever_cfg
+        self.retriever_params = retriever_params
+        self.reader_tokenizer = reader_tokenizer
+        self.retriever_tokenizer = retriever_tokenizer
+        self.compute_dtype = _dtype_of(cfg.precision)
+
+        self._embed_jit = jax.jit(self._embed_fn, static_argnames=("is_passages",))
+        self._reader_eval_jit = jax.jit(self._reader_eval_fn)
+
+    # ------------------------------------------------------------- device helpers
+
+    def _cast(self, params):
+        dt = self.compute_dtype
+        return jax.tree.map(lambda x: x.astype(dt) if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    def _embed_fn(self, retr_params, ids, mask, is_passages: bool):
+        return retriever_embed(
+            self._cast(retr_params), self.retriever_cfg, ids, mask,
+            is_passages=is_passages,
+            query_side_training=self.cfg.query_side_retriever_training,
+            deterministic=True,
+        ).astype(jnp.float32)
+
+    def embed_queries_device(self, ids, mask):
+        return self._embed_jit(self.retriever_params, ids, mask, is_passages=False)
+
+    def embed_passages_device(self, ids, mask):
+        """Frozen-snapshot passage embedding (the reference's fp16 deepcopy,
+        atlas.py:54-59, is here just 'current params, cast, no grad')."""
+        return self._embed_jit(self.retriever_params, ids, mask, is_passages=True)
+
+    def _reader_eval_fn(self, reader_params, reader_ids, reader_mask, decoder_input_ids, labels):
+        loss, logits, _ = fid_forward(
+            self._cast(reader_params), self.reader_cfg,
+            reader_ids, reader_mask, decoder_input_ids, labels=labels, deterministic=True,
+        )
+        return loss, logits
+
+    # --------------------------------------------------------- tokenization (host)
+
+    def append_query(self, query: str, passages: Sequence[dict]) -> List[str]:
+        return [self.cfg.encoder_format.format(query=query, **p) for p in passages]
+
+    def _retr_maxlen(self) -> int:
+        return min(self.cfg.text_maxlength, BERT_MAX_SEQ_LENGTH)
+
+    def retriever_tokenize(self, queries: Sequence[str]) -> Optional[Dict[str, np.ndarray]]:
+        if self.retriever_tokenizer is None:
+            return None
+        return self.retriever_tokenizer(
+            list(queries), max_length=self._retr_maxlen(), padding="max_length",
+            truncation=True, return_tensors="np",
+        )
+
+    def reader_tokenize(self, query, target, target_tokens=None):
+        """-> (labels (B,T), decoder_input_ids (B,T)) np arrays (atlas.py:201-247)."""
+        cfg = self.cfg
+        tmax = cfg.target_maxlength if cfg.target_maxlength is not None else cfg.generation_max_length
+        modified_query = None
+        if target_tokens is None:
+            if cfg.decoder_prompt_format is not None:
+                modified_query = [cfg.decoder_prompt_format.format_map({"query": q}) for q in query]
+                target = [q + t for (q, t) in zip(modified_query, target)]
+            if cfg.decoder_format is not None:
+                target = [cfg.decoder_format.format(target=t) for t in target]
+            target = [t + "</s>" if not t.endswith("</s>") else t for t in target]
+            target_tokens = self.reader_tokenizer(
+                target, max_length=tmax, padding="max_length", truncation=True,
+                return_tensors="np", add_special_tokens=False,
+            )
+        ids = np.asarray(target_tokens["input_ids"])
+        attn = np.asarray(target_tokens["attention_mask"]).astype(bool)
+        labels = np.where(attn, ids, IGNORE_INDEX)
+        decoder_input_ids = np.asarray(shift_right(jnp.asarray(ids), self.reader_cfg))
+        if cfg.decoder_prompt_format is not None:
+            qm = self.reader_tokenizer(
+                modified_query, max_length=tmax, padding="max_length", truncation=True,
+                return_tensors="np", add_special_tokens=False,
+            )["attention_mask"]
+            qm = np.asarray(qm)
+            if qm.shape[-1] < ids.shape[-1]:
+                qm = np.pad(qm, ((0, 0), (0, ids.shape[-1] - qm.shape[-1])))
+            labels = np.where(qm[:, : ids.shape[-1]].astype(bool), IGNORE_INDEX, labels)
+        return labels, decoder_input_ids
+
+    def tokenize(self, query, target, target_tokens=None):
+        if query is None and target is None:
+            return None, None, None
+        assert target_tokens is None or self.cfg.decoder_prompt_format is None, (
+            "decoder_prompt_format not compatible with target tokenized in iterator"
+        )
+        query_enc = self.retriever_tokenize(query) if not self.cfg.use_file_passages else None
+        labels, decoder_input_ids = self.reader_tokenize(query, target, target_tokens)
+        return query_enc, labels, decoder_input_ids
+
+    def encode_passages_batch(self, batch: List[List[str]], tokenizer, max_length: int):
+        """(B lists of <=N strings) -> (B, N, L) fixed-shape arrays (atlas.py:26-39)."""
+        bsz = len(batch)
+        n = max(len(ex) for ex in batch)
+        flat = [s for ex in batch for s in ex + [""] * (n - len(ex))]
+        tok = tokenizer(flat, padding="max_length", max_length=max_length,
+                        truncation=True, return_tensors="np")
+        return {k: np.asarray(v).reshape(bsz, n, -1) for k, v in tok.items()}
+
+    def tokenize_passages(self, query, passages):
+        """-> (reader_tok (B,N,L), retriever_tok (B,N,Lr)) (atlas.py:261-280)."""
+        if len(query) == 0:
+            return None, None
+        query_passages = [self.append_query(q, p) for q, p in zip(query, passages)]
+        fstr = self.cfg.retriever_format
+        retriever_passages = [[fstr.format(**p) for p in ex] for ex in passages]
+        retriever_tok = None
+        if self.retriever_tokenizer is not None:
+            retriever_tok = self.encode_passages_batch(
+                retriever_passages, self.retriever_tokenizer, self._retr_maxlen()
+            )
+        reader_tok = self.encode_passages_batch(
+            query_passages, self.reader_tokenizer, self.cfg.text_maxlength
+        )
+        return reader_tok, retriever_tok
+
+    # ------------------------------------------------------------------ retrieval
+
+    def _retrieve(
+        self, index, topk, query, query_ids_retriever, query_mask_retriever,
+        batch_metadata=None, filtering_fun=None, iter_stats={}, training=False,
+    ):
+        query_emb = self.embed_queries_device(
+            jnp.asarray(query_ids_retriever), jnp.asarray(query_mask_retriever)
+        )
+        search_start = time.time()
+        if filtering_fun is not None:
+            passages, scores = index.search_knn(query_emb, topk * self.cfg.filtering_overretrieve_ratio)
+            passages, scores = filtering_fun(batch_metadata, passages, scores, topk, training=training)
+        else:
+            passages, scores = index.search_knn(query_emb, topk)
+        jax.block_until_ready(query_emb)
+        iter_stats["runtime/search"] = (time.time() - search_start, 1)
+        return passages, scores, query_emb
+
+    def retrieve_with_rerank(
+        self, index, topk, query, query_ids_retriever, query_mask_retriever,
+        batch_metadata=None, filtering_fun=None, iter_stats={}, training=False,
+    ):
+        """Over-retrieve then re-score with the CURRENT passage tower
+        (atlas.py:121-176) — the staleness mitigation between refreshes."""
+        bsz = len(query)
+        to_rerank = self.cfg.n_to_rerank_with_retrieve_with_rerank
+        passages, _, query_emb = self._retrieve(
+            index, to_rerank, query, query_ids_retriever, query_mask_retriever,
+            batch_metadata, filtering_fun, iter_stats, training,
+        )
+        fstr = self.cfg.retriever_format
+        flat = [fstr.format(**p) for ps in passages for p in ps]
+        n = max(len(ps) for ps in passages)
+        embed_bs = min(max(len(flat), 1), self.cfg.per_gpu_embedder_batch_size)
+        embs = []
+        for b in range(0, len(flat), embed_bs):
+            chunk = flat[b : b + embed_bs]
+            chunk = chunk + [""] * (embed_bs - len(chunk))  # static shape
+            tok = self.retriever_tokenizer(
+                chunk, padding="max_length", max_length=self._retr_maxlen(),
+                truncation=True, return_tensors="np",
+            )
+            emb = self.embed_passages_device(jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]))
+            embs.append(np.asarray(emb))
+        passage_emb = np.concatenate(embs, axis=0)[: len(flat)].reshape(bsz, n, -1)
+        qn = np.asarray(query_emb)
+        rerank_scores = np.einsum("id,ijd->ij", qn, passage_emb)
+        top_idx = np.argsort(-rerank_scores, axis=1)[:, :topk]
+        output_passages = [[passages[i][j] for j in top_idx[i]] for i in range(bsz)]
+        output_scores = [[float(rerank_scores[i, j]) for j in top_idx[i]] for i in range(bsz)]
+        return output_passages, output_scores
+
+    def retrieve(self, index, topk, query, query_ids_retriever, query_mask_retriever, **kw):
+        retrieve_func = self.retrieve_with_rerank if self.cfg.retrieve_with_rerank else self._retrieve
+        passages, scores = retrieve_func(index, topk, query, query_ids_retriever, query_mask_retriever, **kw)[:2]
+        return passages, scores
+
+    # ---------------------------------------------------------------- index build
+
+    def build_index(self, index, passages: Sequence[dict], embedder_batch_size: int, logger_=None) -> None:
+        """Embed the local passage shard in place (atlas.py:61-88): batches padded to
+        a fixed length, rows written into the sharded embedding matrix."""
+        n_batch = math.ceil(len(passages) / max(embedder_batch_size, 1))
+        total = 0
+        fstr = self.cfg.retriever_format
+        for i in range(n_batch):
+            batch = passages[i * embedder_batch_size : (i + 1) * embedder_batch_size]
+            texts = [fstr.format(**ex) for ex in batch]
+            nb = len(texts)
+            texts = texts + [""] * (embedder_batch_size - nb)  # static batch shape
+            tok = self.retriever_tokenizer(
+                texts, padding="max_length", truncation=True,
+                max_length=self._retr_maxlen(), return_tensors="np",
+            )
+            emb = self.embed_passages_device(jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]))
+            index.write_embeddings_rows(total, emb[:nb])
+            total += nb
+            if i % 500 == 0 and i > 0 and logger_ is not None:
+                logger_.info(f"Number of passages encoded: {total}")
+        if not index.is_index_trained():
+            index.train_index()
+
+    # ------------------------------------------------------------------- forward
+
+    def make_batch(self, index, query, target, target_tokens=None, passages=None,
+                   batch_metadata=None, filtering_fun=None, training=False, iter_stats={}):
+        """Host half of forward (atlas.py:399-444): tokenize + retrieve + tokenize
+        passages. Returns the device-ready array batch."""
+        cfg = self.cfg
+        query_mask_reader = self.reader_tokenizer(
+            list(query), max_length=cfg.text_maxlength, padding="max_length",
+            truncation=True, return_tensors="np", add_special_tokens=False,
+        )["attention_mask"]
+        query_enc, labels, decoder_input_ids = self.tokenize(query, target, target_tokens)
+        if not cfg.use_file_passages:
+            retrieve_start = time.time()
+            passages, _ = self.retrieve(
+                index, cfg.retriever_n_context, query,
+                query_enc["input_ids"], query_enc["attention_mask"],
+                batch_metadata=batch_metadata, filtering_fun=filtering_fun,
+                iter_stats=iter_stats, training=training,
+            )
+            iter_stats["runtime/retrieve"] = (time.time() - retrieve_start, 1)
+        reader_tok, retriever_tok = self.tokenize_passages(query, passages)
+        batch = {
+            "reader_ids": jnp.asarray(reader_tok["input_ids"]),
+            "reader_mask": jnp.asarray(reader_tok["attention_mask"]),
+            "decoder_input_ids": jnp.asarray(decoder_input_ids),
+            "labels": jnp.asarray(labels),
+            "query_mask_reader": jnp.asarray(query_mask_reader),
+        }
+        if query_enc is not None:
+            batch["retr_q_ids"] = jnp.asarray(query_enc["input_ids"])
+            batch["retr_q_mask"] = jnp.asarray(query_enc["attention_mask"])
+        if retriever_tok is not None:
+            batch["retr_p_ids"] = jnp.asarray(retriever_tok["input_ids"])
+            batch["retr_p_mask"] = jnp.asarray(retriever_tok["attention_mask"])
+        return batch, passages
+
+    def loss_fn(self, params, batch, rng, train_retriever: bool, training: bool = True):
+        """Pure joint loss (device half of atlas.py:446-550). Differentiable w.r.t.
+        params; gold scores computed under stop_gradient."""
+        cfg = self.cfg
+        mode = cfg.gold_score_mode
+        reader_params = self._cast(params["reader"])
+        rcfg = self.reader_cfg
+
+        reader_ids, reader_mask = batch["reader_ids"], batch["reader_mask"]
+        dec_in, labels = batch["decoder_input_ids"], batch["labels"]
+        B, N_ret, Lr = reader_ids.shape
+        n_ctx_train = min(cfg.n_context, N_ret)
+        aux: Dict[str, jnp.ndarray] = {}
+
+        retriever_score = None
+        gold = None
+        if train_retriever:
+            retr_params = self._cast(params["retriever"])
+            query_emb = retriever_embed(
+                retr_params, self.retriever_cfg, batch["retr_q_ids"], batch["retr_q_mask"],
+                is_passages=False, deterministic=not training, rng=rng,
+            )
+            p_ids, p_mask = batch["retr_p_ids"], batch["retr_p_mask"]
+            if "std" in mode:
+                p_ids, p_mask = p_ids[:, :n_ctx_train], p_mask[:, :n_ctx_train]
+            Np, Lp = p_ids.shape[1], p_ids.shape[2]
+            passage_emb = retriever_embed(
+                retr_params, self.retriever_cfg, p_ids.reshape(B * Np, Lp),
+                p_mask.reshape(B * Np, Lp), is_passages=True,
+                query_side_training=cfg.query_side_retriever_training,
+                deterministic=not training, rng=rng,
+            ).reshape(B, Np, -1)
+            retriever_score = jnp.einsum("id,ijd->ij", query_emb, passage_emb,
+                                         preferred_element_type=jnp.float32)
+            retriever_score = retriever_score / jnp.sqrt(query_emb.shape[-1] * 1.0)
+            if "std" not in mode:
+                gold = jax.lax.stop_gradient(
+                    L.gold_score(mode, reader_params, rcfg, reader_ids, reader_mask,
+                                 dec_in, labels, mask_query=batch.get("query_mask_reader"))
+                )
+
+        ids_t = reader_ids[:, :n_ctx_train]
+        mask_t = reader_mask[:, :n_ctx_train]
+        capture = train_retriever and (cfg.compute_crossattention_stats or "std" in mode)
+        reader_loss, _, stats = fid_forward(
+            reader_params, rcfg, ids_t, mask_t, dec_in, labels=labels,
+            deterministic=not training, rng=rng, capture_cross_attn=capture,
+        )
+        if capture:
+            stats = jax.lax.stop_gradient(stats)
+            agg = get_crossattention_scores(
+                stats, mask_t, labels, ids_t, mode="all",
+                mask_query=batch.get("query_mask_reader"),
+            )
+            if "std" in mode:
+                gold = select_crossattention_scores(agg, mode)
+            if cfg.compute_crossattention_stats:
+                for k, v in agg.items():
+                    aux[f"corr/{k}"] = _corr(gold, v) if gold is not None else jnp.float32(0)
+
+        retriever_loss = None
+        if train_retriever and gold is not None:
+            if cfg.gold_score_mode == "emdr":
+                retriever_loss = L.emdr_logprob(retriever_score, gold, labels,
+                                                cfg.temperature_score, cfg.temperature_gold)
+            else:
+                retriever_loss = L.kldivloss(retriever_score, gold,
+                                             cfg.temperature_score, cfg.temperature_gold)
+
+        aux["loss/reader_loss"] = reader_loss
+        total = reader_loss.astype(jnp.float32)
+        if retriever_loss is not None:
+            aux["loss/retriever_loss"] = retriever_loss
+            total = total + retriever_loss
+        return total, aux
+
+    def compute_reader_loss_and_logits(self, reader_tok, decoder_input_ids, labels):
+        """Eval-loss path (atlas.py:577-590)."""
+        loss, logits = self._reader_eval_jit(
+            self.reader_params,
+            jnp.asarray(reader_tok["input_ids"]), jnp.asarray(reader_tok["attention_mask"]),
+            jnp.asarray(decoder_input_ids), jnp.asarray(labels),
+        )
+        return float(loss), logits
+
+
+def _corr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pearson correlation of flattened score tensors (atlas.py:527-534)."""
+    a = a.reshape(-1).astype(jnp.float32)
+    b = b.reshape(-1).astype(jnp.float32)
+    a = a - a.mean()
+    b = b - b.mean()
+    denom = jnp.sqrt((a * a).sum() * (b * b).sum())
+    return jnp.where(denom > 0, (a * b).sum() / denom, 0.0)

@@ -1,0 +1,153 @@
+"""Atlas core: end-to-end retrieve + joint loss for all gold-score modes."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from atlas_tpu.config import AtlasConfig
+from atlas_tpu.core.losses import emdr_logprob, kldivloss
+from atlas_tpu.index.flat import DistributedIndex
+from atlas_tpu.parallel.mesh import make_mesh
+
+from helpers import tiny_atlas, tiny_passages
+
+
+@pytest.fixture(scope="module")
+def setup(devices):
+    mesh = make_mesh(4, 2)
+    atlas = tiny_atlas()
+    passages = tiny_passages(40)
+    index = DistributedIndex(mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=atlas.retriever_cfg.hidden_size)
+    atlas.build_index(index, passages, embedder_batch_size=16)
+    return atlas, index, passages
+
+
+def test_build_index_writes_real_embeddings(setup):
+    atlas, index, passages = setup
+    emb = np.asarray(jax.device_get(index.embeddings[:40]))
+    assert np.abs(emb).sum() > 0
+    assert not np.allclose(emb[0], emb[1])
+
+
+def test_retrieve_returns_topk(setup):
+    atlas, index, _ = setup
+    q = ["this is passage number 3", "this is passage number 20"]
+    enc = atlas.retriever_tokenize(q)
+    passages, scores = atlas.retrieve(index, 4, q, enc["input_ids"], enc["attention_mask"])
+    assert len(passages) == 2 and len(passages[0]) == 4
+    assert scores[0][0] >= scores[0][-1]
+
+
+def test_retrieve_with_rerank(setup):
+    atlas, index, _ = setup
+    atlas.cfg.retrieve_with_rerank = True
+    atlas.cfg.n_to_rerank_with_retrieve_with_rerank = 8
+    try:
+        q = ["this is passage number 3"]
+        enc = atlas.retriever_tokenize(q)
+        passages, scores = atlas.retrieve(index, 2, q, enc["input_ids"], enc["attention_mask"])
+        assert len(passages[0]) == 2
+        assert scores[0][0] >= scores[0][1]
+    finally:
+        atlas.cfg.retrieve_with_rerank = False
+
+
+@pytest.mark.parametrize("mode", ["ppmean", "loop", "emdr", "evalnormssum", "stdnormssum"])
+def test_joint_loss_modes(setup, mode):
+    atlas, index, _ = setup
+    atlas.cfg.gold_score_mode = mode
+    try:
+        batch, _ = atlas.make_batch(
+            index,
+            query=["question: about passage 3 answer: <extra_id_0>"] * 2,
+            target=["<extra_id_0> three", "<extra_id_0> four"],
+            training=True,
+        )
+        params = {"reader": atlas.reader_params, "retriever": atlas.retriever_params}
+        loss, aux = atlas.loss_fn(params, batch, jax.random.PRNGKey(0),
+                                  train_retriever=True, training=False)
+        assert np.isfinite(float(loss))
+        assert "loss/retriever_loss" in aux
+        assert np.isfinite(float(aux["loss/retriever_loss"]))
+    finally:
+        atlas.cfg.gold_score_mode = "ppmean"
+
+
+def test_joint_loss_grads_flow(setup):
+    atlas, index, _ = setup
+    batch, _ = atlas.make_batch(
+        index, query=["question: q answer: <extra_id_0>"], target=["<extra_id_0> a"],
+        training=True,
+    )
+    params = {"reader": atlas.reader_params, "retriever": atlas.retriever_params}
+
+    grads, aux = jax.grad(
+        lambda p: atlas.loss_fn(p, batch, jax.random.PRNGKey(0), train_retriever=True, training=False),
+        has_aux=True,
+    )(params)
+    # reader and retriever both get nonzero grads
+    r_norm = jax.tree.reduce(lambda a, x: a + float(jnp.abs(x).sum()), grads["reader"], 0.0)
+    q_norm = jax.tree.reduce(lambda a, x: a + float(jnp.abs(x).sum()), grads["retriever"], 0.0)
+    assert r_norm > 0 and q_norm > 0
+
+
+def test_query_side_training_freezes_passage_tower(setup):
+    atlas, index, _ = setup
+    cfg = AtlasConfig(text_maxlength=32, target_maxlength=16, n_context=2,
+                      retriever_n_context=2, precision="fp32",
+                      query_side_retriever_training=True)
+    atlas2 = tiny_atlas(cfg)
+    batch, _ = atlas2.make_batch(
+        index, query=["question: q answer: <extra_id_0>"], target=["<extra_id_0> a"],
+        training=True,
+    )
+    params = {"reader": atlas2.reader_params, "retriever": atlas2.retriever_params}
+    grads, _ = jax.grad(
+        lambda p: atlas2.loss_fn(p, batch, jax.random.PRNGKey(0), train_retriever=True, training=False),
+        has_aux=True,
+    )(params)
+    p_norm = jax.tree.reduce(lambda a, x: a + float(jnp.abs(x).sum()),
+                             grads["retriever"]["passage_contriever"], 0.0)
+    q_norm = jax.tree.reduce(lambda a, x: a + float(jnp.abs(x).sum()),
+                             grads["retriever"]["query_contriever"], 0.0)
+    assert p_norm == 0.0 and q_norm > 0.0
+
+
+def test_kldivloss_matches_torch():
+    rng = np.random.RandomState(0)
+    score = rng.randn(4, 5).astype(np.float32)
+    gold = rng.randn(4, 5).astype(np.float32)
+    want = torch.nn.KLDivLoss()(
+        torch.log_softmax(torch.tensor(score) / 0.01, dim=-1),
+        torch.softmax(torch.tensor(gold) / 0.01, dim=-1),
+    )
+    got = kldivloss(jnp.asarray(score), jnp.asarray(gold), 0.01, 0.01)
+    np.testing.assert_allclose(float(got), float(want), atol=1e-5, rtol=1e-4)
+
+
+def test_emdr_logprob_matches_reference_formula():
+    rng = np.random.RandomState(1)
+    B, N, T, V = 2, 3, 4, 11
+    score = rng.randn(B, N).astype(np.float32)
+    gold_logits = rng.randn(B * N, T, V).astype(np.float32)
+    labels = rng.randint(0, V, (B, T))
+    labels[1, 2:] = -100
+    ts, tg = 0.01, 0.01
+
+    # torch reimplementation of atlas.py:557-575
+    lab = torch.tensor(labels)
+    rep = torch.repeat_interleave(lab, N, dim=0).clone()
+    rep[rep == -100] = 0
+    mask = lab >= 0
+    glp = torch.log_softmax(torch.tensor(gold_logits) / tg, dim=-1)
+    gl = torch.gather(glp, -1, rep[..., None]).view(B, N, T)
+    ls = torch.log_softmax(torch.tensor(score) / ts, dim=-1)
+    lp = gl + ls[..., None]
+    want = -(torch.logsumexp(lp, dim=1) * mask).sum() / mask.sum()
+
+    got = emdr_logprob(jnp.asarray(score), jnp.asarray(gold_logits), jnp.asarray(labels), ts, tg)
+    np.testing.assert_allclose(float(got), float(want), atol=1e-5, rtol=1e-4)
