@@ -372,6 +372,48 @@ class Atlas:
             total = total + retriever_loss
         return total, aux
 
+    def generate(self, reader_tok, query, choices=None):
+        """Autoregressive decode (atlas.py:592-636): greedy or beam, with optional
+        decoder-prompt forcing. Returns (B, max_length) np token ids incl. start."""
+        cfg = self.cfg
+        ids = jnp.asarray(reader_tok["input_ids"])
+        mask = jnp.asarray(reader_tok["attention_mask"])
+        if ids.ndim == 2:
+            ids, mask = ids[:, None], mask[:, None]
+        n_ctx = min(cfg.n_context, ids.shape[1])
+        ids, mask = ids[:, :n_ctx], mask[:, :n_ctx]
+        reader_params = self._cast(self.reader_params)
+        min_len = cfg.generation_min_length or 0
+        from atlas_tpu.eval.generate import beam_generate, greedy_generate
+
+        if cfg.decoder_prompt_format is not None:
+            prefix_strs = [cfg.decoder_prompt_format.format_map({"query": q}) for q in query]
+            enc = self.reader_tokenizer(
+                prefix_strs, padding="max_length", truncation=True,
+                max_length=cfg.generation_max_length, return_tensors="np",
+                add_special_tokens=False,
+            )
+            forced = jnp.asarray(enc["input_ids"])
+            plen = jnp.asarray(np.asarray(enc["attention_mask"]).sum(axis=1))
+            out = greedy_generate(
+                reader_params, self.reader_cfg, ids, mask,
+                max_length=cfg.generation_max_length, min_length=min_len,
+                forced_prefix=forced, prefix_len=plen, has_prefix=True,
+            )
+        elif cfg.generation_num_beams > 1:
+            out = beam_generate(
+                reader_params, self.reader_cfg, ids, mask,
+                max_length=cfg.generation_max_length,
+                num_beams=cfg.generation_num_beams, min_length=min_len,
+                length_penalty=cfg.generation_length_penalty,
+            )
+        else:
+            out = greedy_generate(
+                reader_params, self.reader_cfg, ids, mask,
+                max_length=cfg.generation_max_length, min_length=min_len,
+            )
+        return np.asarray(out)
+
     def compute_reader_loss_and_logits(self, reader_tok, decoder_input_ids, labels):
         """Eval-loss path (atlas.py:577-590)."""
         loss, logits = self._reader_eval_jit(

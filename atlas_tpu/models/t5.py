@@ -427,6 +427,82 @@ def cross_entropy(
     return nll.sum() / jnp.maximum(mask.sum(), 1)
 
 
+# --------------------------------------------------------------- cached decoding
+
+
+def init_decode_cache(
+    params, cfg: T5Config, encoder_hidden: jnp.ndarray, encoder_mask: jnp.ndarray, max_len: int
+) -> Dict[str, jnp.ndarray]:
+    """Build the KV cache: cross-attention K/V precomputed once per layer (vmapped
+    over the stacked layer axis), zeroed self-attention K/V of length max_len."""
+    B = encoder_hidden.shape[0]
+    H, Dh = cfg.num_heads, cfg.d_kv
+    enc = encoder_hidden.astype(cfg.dtype)
+
+    def proj(w):  # (nL, D, I) -> (nL, B, H, Lk, Dh)
+        return jax.vmap(lambda wl: _split_heads(enc @ wl, H))(w)
+
+    ca = params["decoder"]["layers"]["cross_attn"]
+    nL = ca["k"].shape[0]
+    return {
+        "cross_k": proj(ca["k"]),
+        "cross_v": proj(ca["v"]),
+        "self_k": jnp.zeros((nL, B, H, max_len, Dh), dtype=cfg.dtype),
+        "self_v": jnp.zeros((nL, B, H, max_len, Dh), dtype=cfg.dtype),
+        "cross_bias": make_attention_bias(encoder_mask),  # (B,1,1,Lk)
+    }
+
+
+def t5_decode_step(
+    params, cfg: T5Config, tokens: jnp.ndarray, pos: jnp.ndarray, cache: Dict[str, jnp.ndarray]
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One incremental decode step: tokens (B,) at position `pos` -> (logits (B,V),
+    updated cache). Layer stack driven by lax.scan over (params, cache) slices."""
+    B = tokens.shape[0]
+    Tmax = cache["self_k"].shape[3]
+    x = jnp.take(params["shared"], tokens[:, None], axis=0).astype(cfg.dtype)  # (B,1,D)
+
+    kpos = jnp.arange(Tmax)
+    self_bias = compute_position_bias(
+        params["decoder"]["rel_bias"].astype(jnp.float32),
+        pos[None] if pos.ndim == 0 else pos,
+        kpos,
+        bidirectional=False,
+        num_buckets=cfg.relative_attention_num_buckets,
+        max_distance=cfg.relative_attention_max_distance,
+    )  # (1,H,1,Tmax)
+    self_bias = self_bias + jnp.where(kpos <= pos, 0.0, NEG_INF)[None, None, None, :]
+    cross_bias = cache["cross_bias"]
+
+    def layer(x, xs):
+        lp, sk, sv, ck, cv = xs
+        h = rms_norm(x, lp["ln1"], cfg.layer_norm_epsilon)
+        q = _split_heads(h @ lp["self_attn"]["q"], cfg.num_heads)
+        new_k = _split_heads(h @ lp["self_attn"]["k"], cfg.num_heads)  # (B,H,1,Dh)
+        new_v = _split_heads(h @ lp["self_attn"]["v"], cfg.num_heads)
+        sk = jax.lax.dynamic_update_slice(sk, new_k.astype(sk.dtype), (0, 0, pos, 0))
+        sv = jax.lax.dynamic_update_slice(sv, new_v.astype(sv.dtype), (0, 0, pos, 0))
+        a = dot_product_attention(q, sk, sv, bias=self_bias)
+        x = x + _merge_heads(a) @ lp["self_attn"]["o"]
+        h = rms_norm(x, lp["ln2"], cfg.layer_norm_epsilon)
+        q = _split_heads(h @ lp["cross_attn"]["q"], cfg.num_heads)
+        a = dot_product_attention(q, ck, cv, bias=cross_bias)
+        x = x + _merge_heads(a) @ lp["cross_attn"]["o"]
+        h = rms_norm(x, lp["ln3"], cfg.layer_norm_epsilon)
+        x = x + _ffn_apply(lp["ffn"], h, cfg, True, None)
+        return x, (sk, sv)
+
+    (x), (new_sk, new_sv) = jax.lax.scan(
+        layer, x,
+        (params["decoder"]["layers"], cache["self_k"], cache["self_v"],
+         cache["cross_k"], cache["cross_v"]),
+    )
+    x = rms_norm(x, params["decoder"]["final_ln"], cfg.layer_norm_epsilon)
+    logits = _lm_logits(params, cfg, x)[:, 0]  # (B, V)
+    cache = dict(cache, self_k=new_sk, self_v=new_sv)
+    return logits, cache
+
+
 def t5_forward(
     params,
     cfg: T5Config,

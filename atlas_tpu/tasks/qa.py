@@ -1,0 +1,40 @@
+"""Open-domain QA task (reference: /root/reference/src/tasks/qa.py)."""
+
+from __future__ import annotations
+
+import random
+
+from atlas_tpu.eval.metrics import exact_match_score, f1_score, normalize_answer
+from atlas_tpu.tasks.base import BaseTask
+
+
+class Task(BaseTask):
+    metrics = ["exact_match", "f1", "eval_loss"]
+
+    def __init__(self, cfg, *args, **kwargs):
+        super().__init__()
+        self.qa_prompt_format_str = cfg.qa_prompt_format
+
+    def get_qa_prompt(self, question: str) -> str:
+        return self.qa_prompt_format_str.format(question=question)
+
+    def process(self, example, *args, **kwargs):
+        if "target" in example:
+            target = example["target"]
+        elif "answers" in example:
+            target = random.choice(example["answers"])
+        else:
+            target = None
+        if "passages" not in example:
+            example["passages"] = [{"title": "", "text": ""}]
+        example["metadata"] = example.get("metadata", {})
+        example["query"] = self.get_qa_prompt(example["question"])
+        if target is not None:
+            example["target"] = f"<extra_id_0> {target}"
+        return example
+
+    def evaluation(self, prediction, ground_truths):
+        return {
+            "exact_match": exact_match_score(prediction, ground_truths, normalize_answer),
+            "f1": f1_score(prediction, ground_truths, normalize_answer),
+        }
