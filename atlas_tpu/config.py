@@ -147,6 +147,8 @@ class AtlasConfig:
     use_pallas: bool = True
     # Bucketed padding sizes used to keep XLA shapes static across steps.
     generation_bucket: int = 0  # 0 = use generation_max_length
+    # Shrink models to toy dimensions (smoke tests / CI on CPU).
+    tiny_model: bool = False
 
     # --- runtime-derived fields (populated by the runtime, not flags) ---
     is_main: bool = True

@@ -1,0 +1,142 @@
+"""Evaluation loops: full eval (loss + generation + metrics) and retrieve-only.
+
+Behavioral reference: /root/reference/evaluate.py:25-165 — rank batch-count padding so
+every process runs the same number of (possibly empty) steps, per-sample task metrics,
+MCQA choice logits, permutation postprocessing, distributed metric averaging, and
+prediction writing.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from collections import defaultdict
+
+import jax
+import numpy as np
+
+from atlas_tpu.tasks import get_task
+from atlas_tpu.utils.io import save_distributed_dataset
+from atlas_tpu.utils.stats import avg_dist_dict
+
+logger = logging.getLogger(__name__)
+
+
+def _get_eval_data_iterator(cfg, data_path, task):
+    data_iterator = task.data_iterator(data_path, cfg.global_rank, cfg.world_size,
+                                       opt=cfg, is_eval=True)
+    data_iterator = filter(None, map(task.process, data_iterator))
+    data_iterator = list(task.batch_iterator(data_iterator, cfg.per_gpu_batch_size))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        n = multihost_utils.process_allgather(np.array([len(data_iterator)])).max()
+        if len(data_iterator) < int(n):
+            data_iterator.extend({} for _ in range(int(n) - len(data_iterator)))
+    return data_iterator
+
+
+def run_retrieval_only(atlas, index, cfg, data_path, step=None):
+    """Standalone retriever mode (evaluate.py:41-83)."""
+    metrics = defaultdict(list)
+    dataset_wpred = []
+    task = get_task(cfg, atlas.reader_tokenizer)
+    data_iterator = _get_eval_data_iterator(cfg, data_path, task)
+
+    for batch in data_iterator:
+        query = batch.get("query", [""])
+        answers = batch.get("target", [""])
+        batch_metadata = batch.get("metadata")
+        query_enc = atlas.retriever_tokenize(query)
+        retrieved_passages, _ = atlas.retrieve(
+            index, cfg.n_context, query,
+            query_enc["input_ids"], query_enc["attention_mask"],
+            batch_metadata=batch_metadata, filtering_fun=task.filter,
+        )
+        if (len(query) == 0) or (len(query[0]) == 0):  # padding batch
+            continue
+        if cfg.write_results:
+            for k in range(len(retrieved_passages)):
+                gold = [answers[k]] if "answers" not in batch else batch["answers"][k]
+                ex = {"query": query[k], "answers": gold, "passages": retrieved_passages[k]}
+                if batch_metadata is not None:
+                    ex["metadata"] = batch_metadata[k]
+                if "id" in batch:
+                    ex["id"] = batch["id"][k]
+                dataset_wpred.append(ex)
+
+    if cfg.write_results:
+        dataset_name, _ = os.path.splitext(os.path.basename(data_path))
+        save_distributed_dataset(dataset_wpred, f"{dataset_name}-step-{step}", cfg)
+    return metrics
+
+
+def evaluate(atlas, index, cfg, data_path, step=None):
+    """Full eval (evaluate.py:87-165)."""
+    metrics = defaultdict(list)
+    dataset_wpred = []
+    task = get_task(cfg, atlas.reader_tokenizer)
+    data_iterator = _get_eval_data_iterator(cfg, data_path, task)
+
+    for batch in data_iterator:
+        query = batch.get("query", [""])
+        answers = batch.get("target", [""])
+        batch_metadata = batch.get("metadata")
+        target_tokens = batch.get("target_tokens")
+        query_enc, labels, decoder_input_ids = atlas.tokenize(query, answers, target_tokens=target_tokens)
+        if not cfg.use_file_passages:
+            retrieved_passages, _ = atlas.retrieve(
+                index, cfg.n_context, query,
+                query_enc["input_ids"], query_enc["attention_mask"],
+                batch_metadata=batch_metadata, filtering_fun=task.filter,
+            )
+        else:
+            assert "passages" in batch, "cant use use_file_passages without passing passages"
+            retrieved_passages = [p[: cfg.n_context] for p in batch["passages"]]
+
+        if (len(query) == 0) or (len(query[0]) == 0):  # padding batch
+            continue
+
+        reader_tokens, _ = atlas.tokenize_passages(query, retrieved_passages)
+
+        logits = None
+        if "eval_loss" in task.metrics:
+            eval_loss, logits = atlas.compute_reader_loss_and_logits(
+                reader_tokens, decoder_input_ids, labels
+            )
+            metrics["eval_loss"].append(eval_loss)
+
+        generation = atlas.generate(reader_tokens, query)
+
+        for k, g in enumerate(generation):
+            if cfg.decoder_prompt_format is not None:
+                query_ids = atlas.reader_tokenizer(
+                    cfg.decoder_prompt_format.format_map({"query": query[k]}),
+                    add_special_tokens=False,
+                )["input_ids"]
+                g = g[len(query_ids) + 1 :]
+            pred = atlas.reader_tokenizer.decode(g, skip_special_tokens=True)
+            gold = [answers[k]] if "answers" not in batch else batch["answers"][k]
+            sample_metrics = task.evaluation(pred, gold)
+            for key, value in sample_metrics.items():
+                metrics[key].append(value)
+
+            if cfg.write_results:
+                ex = {"query": query[k], "answers": gold, "generation": pred}
+                if not cfg.dont_write_passages:
+                    ex["passages"] = retrieved_passages[k]
+                if batch_metadata is not None:
+                    ex["metadata"] = batch_metadata[k]
+                if cfg.task == "multiple_choice":
+                    ex["choice_logits"] = task.get_choice_logits(np.asarray(logits)[k])
+                if "id" in batch:
+                    ex["id"] = batch["id"][k]
+                dataset_wpred.append(ex)
+
+    metrics, dataset_wpred = task.evaluation_postprocessing(metrics, dataset_wpred)
+    metrics = avg_dist_dict(task.metrics, metrics)
+    metrics = {key: value if key == "eval_loss" else 100 * value for key, value in metrics.items()}
+    if cfg.write_results:
+        dataset_name, _ = os.path.splitext(os.path.basename(data_path))
+        save_distributed_dataset(dataset_wpred, f"{dataset_name}-step-{step}", cfg)
+    return metrics

@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from atlas_tpu.index.docstore import DocStore
+from atlas_tpu.ops.mips import mips_topk
 from atlas_tpu.parallel.mesh import get_mesh
 
 logger = logging.getLogger(__name__)
@@ -118,14 +119,10 @@ class DistributedIndex:
         def local_search(queries, emb_shard):
             # queries (B, D) replicated; emb_shard (shard_rows, D)
             dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
-            scores = jax.lax.dot_general(
-                queries.astype(self.dtype), emb_shard,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (B, shard_rows)
-            gids = dev * shard_rows + jnp.arange(shard_rows)
-            scores = jnp.where(gids[None, :] < n_total, scores, NEG)
-            vals, idx = jax.lax.top_k(scores, k_local)  # (B, k_local)
+            # fused streaming scan+top-k (ops/mips.py) — no (B, shard_rows) score
+            # matrix in HBM; padding rows beyond the corpus masked via n_valid
+            n_valid_local = jnp.clip(n_total - dev * shard_rows, 0, shard_rows)
+            vals, idx = mips_topk(queries, emb_shard, k_local, n_valid=n_valid_local)
             gidx = dev * shard_rows + idx
             # merge over the full mesh: (n_dev, B, k_local)
             vals_all = jax.lax.all_gather(vals, ("dp", "mp"))

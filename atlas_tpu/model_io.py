@@ -1,0 +1,283 @@
+"""Model construction + checkpoint save/load/resume.
+
+Behavioral reference: /root/reference/src/model_io.py:
+- three load modes (fresh init / resume-from-latest / finetune-from-path, :170-197)
+- atomic step-N dirs + `latest` symlink (:200-244)
+- tied->untied retriever state surgery when enabling query-side training (:62-71)
+- reader dropped when retrieve_only, retriever dropped when use_file_passages (:116-120)
+- interop: the released torch Atlas checkpoints (`reader.` / `retriever.` prefixed
+  state dicts) import through models/hf_import converters.
+
+Our checkpoint format: `state.npz` (flattened param/opt pytrees; optax states via
+flax.serialization) + `meta.json` (step + config) per step-N dir.
+"""
+
+from __future__ import annotations
+
+import errno
+import json
+import logging
+import os
+from dataclasses import asdict
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from atlas_tpu.config import AtlasConfig
+from atlas_tpu.core.atlas import Atlas
+from atlas_tpu.models.bert import BertConfig, bert_config_for
+from atlas_tpu.models.contriever import init_retriever, untie_retriever
+from atlas_tpu.models.t5 import T5Config, init_t5, t5_config_for
+from atlas_tpu.tokenization import load_tokenizer
+
+logger = logging.getLogger(__name__)
+
+
+def get_checkpoint_path(cfg: AtlasConfig) -> Path:
+    return Path(cfg.checkpoint_dir) / cfg.name
+
+
+def create_checkpoint_directories(cfg: AtlasConfig):
+    checkpoint_path = get_checkpoint_path(cfg)
+    os.makedirs(checkpoint_path, exist_ok=True)
+    if cfg.save_index_path:
+        os.makedirs(cfg.save_index_path, exist_ok=True)
+    return checkpoint_path, cfg.save_index_path
+
+
+# ------------------------------------------------------------- tree <-> flat dict
+
+
+def tree_to_flat(tree, prefix="") -> Dict[str, np.ndarray]:
+    state = serialization.to_state_dict(tree)
+    out: Dict[str, np.ndarray] = {}
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(v, f"{path}/{k}" if path else str(k))
+        elif node is None:
+            out[path + "/__none__"] = np.zeros(0)
+        else:
+            out[path] = np.asarray(jax.device_get(node))
+
+    rec(state, prefix)
+    return out
+
+
+def flat_to_tree(flat: Dict[str, np.ndarray], target):
+    nested: Dict[str, Any] = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        if parts[-1] == "__none__":
+            parts, v = parts[:-1], None
+        node = nested
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return serialization.from_state_dict(target, nested)
+
+
+# ----------------------------------------------------------------- constructors
+
+
+def _reader_vocab_size(tokenizer) -> int:
+    return len(tokenizer)
+
+
+def load_reader(cfg: AtlasConfig) -> Tuple[Optional[T5Config], Optional[Dict], Any]:
+    reader_tokenizer = load_tokenizer(cfg.reader_model_type, style="t5")
+    if cfg.retrieve_only:
+        return None, None, reader_tokenizer
+    dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
+    reader_cfg = t5_config_for(
+        cfg.reader_model_type,
+        vocab_size=_reader_vocab_size(reader_tokenizer),
+        dropout_rate=cfg.dropout,
+        dtype=dtype,
+        remat=cfg.use_gradient_checkpoint_reader,
+    )
+    if cfg.tiny_model:
+        import dataclasses
+
+        reader_cfg = dataclasses.replace(
+            reader_cfg, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+            num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        )
+    params = _try_load_hf_t5(cfg.reader_model_type, reader_cfg)
+    if params is None:
+        params = init_t5(jax.random.PRNGKey(cfg.seed), reader_cfg)
+    return reader_cfg, params, reader_tokenizer
+
+
+def load_retriever(cfg: AtlasConfig, cfg_checkpoint: Optional[AtlasConfig] = None):
+    if cfg.use_file_passages:
+        return None, None, None
+    retriever_tokenizer = load_tokenizer(cfg.retriever_model_path, style="bert")
+    retr_cfg = bert_config_for(
+        "bert-base-uncased",
+        vocab_size=len(retriever_tokenizer),
+        remat=cfg.use_gradient_checkpoint_retriever,
+    )
+    if cfg.tiny_model:
+        import dataclasses
+
+        retr_cfg = dataclasses.replace(
+            retr_cfg, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64,
+        )
+    untied = cfg.query_side_retriever_training or (
+        cfg_checkpoint is not None and cfg_checkpoint.query_side_retriever_training
+    )
+    params = _try_load_hf_bert(cfg.retriever_model_path, retr_cfg, untied)
+    if params is None:
+        params = init_retriever(jax.random.PRNGKey(cfg.seed + 1), retr_cfg, untied=untied)
+    return retr_cfg, params, retriever_tokenizer
+
+
+def _try_load_hf_t5(path: str, cfg: T5Config):
+    """Import a local HF torch T5 checkpoint when present (hub names have no local
+    assets in an air-gapped pod -> random init + warning)."""
+    if not os.path.isdir(path):
+        return None
+    try:
+        import torch
+
+        from atlas_tpu.models.hf_import import t5_params_from_state_dict
+
+        for fname in ("pytorch_model.bin", "model.safetensors"):
+            p = os.path.join(path, fname)
+            if os.path.exists(p):
+                if fname.endswith(".safetensors"):
+                    from safetensors.torch import load_file
+
+                    sd = load_file(p)
+                else:
+                    sd = torch.load(p, map_location="cpu")
+                return t5_params_from_state_dict(sd, cfg)
+    except Exception as e:  # pragma: no cover
+        logger.warning("failed to import HF T5 from %s: %s", path, e)
+    return None
+
+
+def _try_load_hf_bert(path: str, cfg: BertConfig, untied: bool):
+    if not os.path.isdir(path):
+        return None
+    try:
+        import torch
+
+        from atlas_tpu.models.hf_import import bert_params_from_state_dict
+
+        for fname in ("pytorch_model.bin", "model.safetensors"):
+            p = os.path.join(path, fname)
+            if os.path.exists(p):
+                if fname.endswith(".safetensors"):
+                    from safetensors.torch import load_file
+
+                    sd = load_file(p)
+                else:
+                    sd = torch.load(p, map_location="cpu")
+                bert = bert_params_from_state_dict(sd, cfg)
+                params = {"contriever": bert}
+                return untie_retriever(params) if untied else params
+    except Exception as e:  # pragma: no cover
+        logger.warning("failed to import HF BERT from %s: %s", path, e)
+    return None
+
+
+def init_atlas_model(cfg: AtlasConfig) -> Tuple[Atlas, int]:
+    reader_cfg, reader_params, reader_tok = load_reader(cfg)
+    retr_cfg, retr_params, retr_tok = load_retriever(cfg)
+    atlas = Atlas(cfg, reader_cfg, reader_params, retr_cfg, retr_params, reader_tok, retr_tok)
+    return atlas, 0
+
+
+# ------------------------------------------------------------------ save / load
+
+
+def _symlink_force(target, link_name):
+    try:
+        os.symlink(target, link_name)
+    except OSError as e:
+        if e.errno == errno.EEXIST:
+            os.remove(link_name)
+            os.symlink(target, link_name)
+        else:
+            raise
+
+
+def save_atlas_model(atlas: Atlas, opt_state, step: int, cfg: AtlasConfig,
+                     dir_path, name: str) -> None:
+    """Write step dir + flip `latest` (model_io.py:200-244). Rank 0 only."""
+    if not cfg.is_main:
+        return
+    path = os.path.join(str(dir_path), "checkpoint")
+    epoch_path = os.path.join(path, name)
+    os.makedirs(epoch_path, exist_ok=True)
+
+    flat = tree_to_flat({"reader": atlas.reader_params, "retriever": atlas.retriever_params}, "model")
+    if cfg.save_optimizer and opt_state is not None:
+        flat.update(tree_to_flat(opt_state, "optimizer"))
+    np.savez(os.path.join(epoch_path, "state.npz"), **flat)
+    with open(os.path.join(epoch_path, "meta.json"), "w") as f:
+        json.dump({"step": step, "cfg": asdict(cfg)}, f)
+    _symlink_force(epoch_path, os.path.join(path, "latest"))
+
+
+def load_atlas_model(dir_path: str, cfg: AtlasConfig, reset_params=False, eval_only=False):
+    epoch_path = os.path.realpath(dir_path)
+    with open(os.path.join(epoch_path, "meta.json")) as f:
+        meta = json.load(f)
+    known = {k: v for k, v in meta["cfg"].items() if k in AtlasConfig.__dataclass_fields__}
+    cfg_checkpoint = AtlasConfig(**known)
+    step = meta["step"]
+    data = dict(np.load(os.path.join(epoch_path, "state.npz"), allow_pickle=False))
+
+    reader_cfg, reader_params, reader_tok = load_reader(cfg)
+    retr_cfg, retr_params, retr_tok = load_retriever(cfg, cfg_checkpoint)
+
+    model_flat = {k[len("model/"):]: v for k, v in data.items() if k.startswith("model/")}
+    saved = flat_to_tree(model_flat, None)
+    saved_reader, saved_retr = saved.get("reader"), saved.get("retriever")
+
+    # tied -> untied surgery (model_io.py:62-71)
+    if saved_retr is not None and retr_params is not None:
+        if "contriever" in saved_retr and "query_contriever" in retr_params:
+            saved_retr = untie_retriever(saved_retr)
+        saved_retr = jax.tree.map(jnp.asarray, saved_retr)
+    if not cfg.retrieve_only and saved_reader is not None:
+        reader_params = jax.tree.map(jnp.asarray, saved_reader)
+    if not cfg.use_file_passages and saved_retr is not None:
+        retr_params = saved_retr
+
+    atlas = Atlas(cfg, reader_cfg, reader_params, retr_cfg, retr_params, reader_tok, retr_tok)
+
+    opt_flat = {k[len("optimizer/"):]: v for k, v in data.items() if k.startswith("optimizer/")}
+    opt_state_raw = flat_to_tree(opt_flat, None) if (opt_flat and not reset_params and not eval_only) else None
+    return atlas, opt_state_raw, cfg_checkpoint, step
+
+
+def load_or_initialize_atlas_model(cfg: AtlasConfig, eval_only=False):
+    """Fresh / resume / finetune resolution (model_io.py:170-197).
+    -> (atlas, raw_opt_state_or_None, step)."""
+    checkpoint_path = get_checkpoint_path(cfg)
+    latest = os.path.join(checkpoint_path, "checkpoint", "latest")
+
+    if cfg.model_path == "none":
+        if not os.path.exists(latest):
+            atlas, step = init_atlas_model(cfg)
+            return atlas, None, step
+        load_path, reset_params = latest, False
+    else:
+        load_path, reset_params = cfg.model_path, True
+
+    atlas, opt_state_raw, _, loaded_step = load_atlas_model(
+        load_path, cfg, reset_params=reset_params, eval_only=eval_only
+    )
+    logger.info(f"Model loaded from {load_path}")
+    step = 0 if cfg.model_path != "none" else loaded_step
+    return atlas, opt_state_raw, step

@@ -31,6 +31,13 @@ def init_distributed_mode(cfg=None) -> None:
     Replaces slurm.py:49-185: JAX discovers the coordinator from SLURM/TPU env vars
     itself; explicit addresses only needed for bare multi-process launches.
     """
+    # Some platform plugins ignore the JAX_PLATFORMS env var; enforce it through
+    # the config so `JAX_PLATFORMS=cpu python train.py ...` behaves as documented.
+    if os.environ.get("JAX_PLATFORMS"):
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
     if jax.process_count() > 1:
         return  # already initialized
     if os.environ.get("SLURM_NTASKS", "1") != "1" or "COORDINATOR_ADDRESS" in os.environ:

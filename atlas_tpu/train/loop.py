@@ -1,0 +1,145 @@
+"""Training loop.
+
+Behavioral reference: /root/reference/train.py:30-177 — index-refresh scheduling,
+retrieval-in-the-loop batches, joint optimizer steps, periodic log/eval/save. The
+loss-scale adaptation block (train.py:96-116) is fp16-only and intentionally absent
+(bf16 training); its grad statistics and NaN step-skip live inside the jitted step
+(train/step.py). Device work per step: query embed -> sharded search -> one fused
+train_step; tokenization stays host-side between them.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from atlas_tpu.config import AtlasConfig
+from atlas_tpu.eval.loop import evaluate
+from atlas_tpu.index.io import save_embeddings_and_index
+from atlas_tpu.model_io import save_atlas_model
+from atlas_tpu.tasks import get_task
+from atlas_tpu.train.optim import make_optimizers
+from atlas_tpu.train.step import TrainState, create_train_state, make_train_step
+from atlas_tpu.utils.logging_utils import init_tb_logger
+from atlas_tpu.utils.schedules import IndexRefreshScheduler
+from atlas_tpu.utils.stats import WeightedAvgStats
+
+logger = logging.getLogger(__name__)
+
+
+def train(
+    atlas,
+    index,
+    passages,
+    step: int,
+    cfg: AtlasConfig,
+    checkpoint_path,
+    opt_state_raw=None,
+    max_steps: Optional[int] = None,
+):
+    tb_logger = init_tb_logger(os.path.join(cfg.checkpoint_dir, cfg.name), is_main=cfg.is_main)
+    run_stats = WeightedAvgStats()
+    task = get_task(cfg, atlas.reader_tokenizer)
+    index_refresh_scheduler = IndexRefreshScheduler(
+        cfg.refresh_index, cfg.freeze_retriever_steps, cfg.train_retriever
+    )
+
+    reader_opt, retr_opt = make_optimizers(cfg)
+    params = {"reader": atlas.reader_params, "retriever": atlas.retriever_params}
+    state = create_train_state(params, reader_opt, retr_opt, cfg.accumulation_steps)
+    if opt_state_raw is not None:
+        from atlas_tpu.model_io import flat_to_tree  # restore optimizer state
+
+        try:
+            state = state._replace(opt_state=flat_to_tree(opt_state_raw, state.opt_state)
+                                   if isinstance(opt_state_raw, dict) else opt_state_raw)
+        except Exception as e:
+            logger.warning("could not restore optimizer state: %s", e)
+    state = state._replace(step=state.step + step)
+    train_step = make_train_step(atlas, cfg, reader_opt, retr_opt)
+    rng = jax.random.PRNGKey(cfg.global_rank + cfg.seed)
+
+    total = max_steps if max_steps is not None else cfg.total_steps
+    while step < total:
+        data_iterator = task.data_iterator(
+            cfg.train_data, cfg.global_rank, cfg.world_size,
+            repeat_if_less_than_world_size=True, opt=cfg,
+        )
+        data_iterator = filter(None, map(task.process, data_iterator))
+        data_iterator = task.batch_iterator(
+            data_iterator, cfg.per_gpu_batch_size, drop_last=True, shuffle=cfg.shuffle
+        )
+        for batch in data_iterator:
+            iter_stats = {}
+            if not cfg.use_file_passages and index_refresh_scheduler.is_time_to_refresh(step):
+                if not (step == 0 and cfg.load_index_path is not None):
+                    indexing_start = time.time()
+                    # refresh uses the CURRENT retriever params
+                    atlas.retriever_params = state.params["retriever"]
+                    atlas.build_index(index, passages, cfg.per_gpu_embedder_batch_size, logger)
+                    iter_stats["runtime/indexing"] = (time.time() - indexing_start, 1)
+                    if cfg.save_index_path is not None:
+                        save_embeddings_and_index(index, cfg)
+            step += 1
+            train_step_start = time.time()
+
+            atlas.retriever_params = state.params["retriever"]
+            atlas.reader_params = state.params["reader"]
+            device_batch, _ = atlas.make_batch(
+                index,
+                query=batch["query"],
+                target=batch["target"],
+                target_tokens=batch.get("target_tokens"),
+                passages=batch["passages"] if cfg.use_file_passages else None,
+                batch_metadata=batch.get("metadata"),
+                filtering_fun=task.filter,
+                training=True,
+                iter_stats=iter_stats,
+            )
+            train_retriever = cfg.train_retriever and step > cfg.freeze_retriever_steps
+            state, metrics = train_step(state, device_batch, rng, train_retriever)
+
+            jax.block_until_ready(metrics["loss/train_loss"])
+            iter_stats["runtime/train_step"] = (time.time() - train_step_start, 1)
+            for k, v in metrics.items():
+                iter_stats[k] = (float(v), len(batch["query"]))
+            run_stats.update(iter_stats)
+
+            if step % cfg.log_freq == 0:
+                log = f"{step} / {total}"
+                for k, v in sorted(run_stats.average_stats.items()):
+                    log += f" | {k}: {v:.3g}"
+                    if tb_logger:
+                        tb_logger.add_scalar(k, v, step)
+                logger.info(log)
+                run_stats.reset()
+
+            if step % cfg.eval_freq == 0:
+                atlas.reader_params = state.params["reader"]
+                atlas.retriever_params = state.params["retriever"]
+                for data_path in cfg.eval_data:
+                    dataset_name = os.path.basename(data_path)
+                    metrics_eval = evaluate(atlas, index, cfg, data_path, step)
+                    log_message = f"Dataset: {dataset_name}"
+                    for k, v in metrics_eval.items():
+                        log_message += f" | {v:.3f} {k}"
+                        if tb_logger:
+                            tb_logger.add_scalar(f"{dataset_name}/{k}", v, step)
+                    logger.info(log_message)
+
+            if step % cfg.save_freq == 0:
+                atlas.reader_params = state.params["reader"]
+                atlas.retriever_params = state.params["retriever"]
+                save_atlas_model(atlas, state.opt_state, step, cfg, checkpoint_path, f"step-{step}")
+
+            if step >= total:
+                break
+
+    atlas.reader_params = state.params["reader"]
+    atlas.retriever_params = state.params["retriever"]
+    return atlas, state, step

@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: exact-MIPS retrieval throughput (queries/sec/chip) over a synthetic
+1M-passage, 768-d corpus — the reference's retrieval engine hot loop
+(/root/reference/src/index.py:113-119: fp16 matmul + topk per shard). The baseline is
+faiss-gpu IndexFlatIP on the reference's V100 hardware at the same operating point
+(1M x 768 exact IP, k=100, batch 64): ~6000 QPS — the matmul-roofline estimate for a
+V100's ~25 TFLOP/s fp16 tensor-core GEMM at this shape, which faiss flat approaches.
+BASELINE.json north star: >= 5x QPS/chip at equal memory.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_PASSAGES = 1_000_000
+DIM = 768
+BATCH = 64
+TOPK = 100
+FAISS_V100_BASELINE_QPS = 6000.0
+
+
+def main():
+    devices = jax.devices()
+    dev = devices[0]
+
+    from atlas_tpu.ops.mips import mips_topk
+
+    # synthetic corpus in bf16 (the index's storage dtype on TPU)
+    key = jax.random.PRNGKey(0)
+    emb = jax.device_put(
+        jax.random.normal(key, (N_PASSAGES, DIM), dtype=jnp.bfloat16), dev
+    )
+    q = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (BATCH, DIM), dtype=jnp.bfloat16), dev
+    )
+
+    search = jax.jit(lambda q, e: mips_topk(q, e, TOPK))
+    # warmup / compile
+    out = search(q, emb)
+    jax.block_until_ready(out)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = search(q, emb)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    qps = BATCH * iters / dt
+    print(json.dumps({
+        "metric": "flat_mips_qps_per_chip_1M x768_k100_b64",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

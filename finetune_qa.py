@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Opinionated QA-finetuning wrapper (reference: /root/reference/finetune_qa.py):
+injects the recommended defaults (bf16, n_context 40, query-side retriever training,
+no index refresh, ppmean distillation) before parsing, then runs train.main()."""
+
+import sys
+from typing import List
+
+NCONTEXT = "40"
+PBSZ = "1"
+PRECISION = "bf16"
+GOLD_SCORE_MODE = "ppmean"
+GPU_MAX_LENGTH = "384"
+GEN_MAX_LENGTH = "32"
+EPSILON = "0.01"
+SMALL_EPSILON = "4e-5"
+DROPOUT = "0.1"
+WARMUP_STEPS = "5"
+EVAL_FREQ = "10"
+LOG_FREQ = "5"
+NO_REFRESH = "-1"
+CHECK_FREQS: List[str] = ["--warmup_steps", "--save_freq", "--eval_freq"]
+
+
+def get_argument_value(all_args: List[str], argument_name: str) -> int:
+    argument_idx = all_args.index(argument_name)
+    return int(all_args[argument_idx + 1])
+
+
+def check_valid_input_params(all_args: List[str], total_steps: int) -> None:
+    for freq in CHECK_FREQS:
+        try:
+            arg_val = get_argument_value(all_args, freq)
+        except ValueError:
+            print(f"List does not contain value {freq}")
+            continue
+        assert arg_val < total_steps, (
+            f"The {freq} cannot be higher than the total steps {total_steps}."
+        )
+
+
+def build_args(passed_args: List[str]) -> List[str]:
+    total_steps = get_argument_value(passed_args, "--total_steps")
+    all_args = [
+        "--write_results",
+        "--train_retriever",
+        "--query_side_retriever_training",
+        "--use_gradient_checkpoint_reader",
+        "--use_gradient_checkpoint_retriever",
+        "--temperature_gold", EPSILON,
+        "--temperature_score", EPSILON,
+        "--refresh_index", NO_REFRESH,
+        "--dropout", DROPOUT,
+        "--lr", SMALL_EPSILON,
+        "--lr_retriever", SMALL_EPSILON,
+        "--scheduler", "linear",
+        "--weight_decay", EPSILON,
+        "--generation_max_length", GEN_MAX_LENGTH,
+        "--target_maxlength", GEN_MAX_LENGTH,
+        "--gold_score_mode", GOLD_SCORE_MODE,
+        "--precision", PRECISION,
+        "--text_maxlength", GPU_MAX_LENGTH,
+        "--per_gpu_batch_size", PBSZ,
+        "--n_context", NCONTEXT,
+        "--retriever_n_context", NCONTEXT,
+        "--task", "qa",
+        "--warmup_steps", WARMUP_STEPS,
+        "--save_freq", str(total_steps - 1),
+        "--eval_freq", EVAL_FREQ,
+        "--log_freq", LOG_FREQ,
+    ] + passed_args
+    check_valid_input_params(all_args, total_steps)
+    return all_args
+
+
+if __name__ == "__main__":
+    sys.argv = [sys.argv[0]] + build_args(sys.argv[1:])
+    import train
+
+    train.main()

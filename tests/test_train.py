@@ -1,0 +1,134 @@
+"""End-to-end training: jitted step, NaN gate, accumulation, checkpoint resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from atlas_tpu.config import AtlasConfig
+from atlas_tpu.index.flat import DistributedIndex
+from atlas_tpu.parallel.mesh import make_mesh
+from atlas_tpu.train.optim import make_optimizers, make_schedule
+from atlas_tpu.train.step import create_train_state, make_train_step
+
+from helpers import tiny_atlas, tiny_passages
+
+
+@pytest.fixture(scope="module")
+def setup(devices):
+    mesh = make_mesh(4, 2)
+    cfg = AtlasConfig(text_maxlength=32, target_maxlength=16, n_context=2,
+                      retriever_n_context=2, precision="fp32", train_retriever=True,
+                      total_steps=50, warmup_steps=2, lr=1e-3, lr_retriever=1e-3)
+    atlas = tiny_atlas(cfg)
+    passages = tiny_passages(24)
+    index = DistributedIndex(mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=atlas.retriever_cfg.hidden_size)
+    atlas.build_index(index, passages, embedder_batch_size=8)
+    return atlas, index, cfg
+
+
+def _batch(atlas, index):
+    b, _ = atlas.make_batch(
+        index,
+        query=["question: three? answer: <extra_id_0>", "question: five? answer: <extra_id_0>"],
+        target=["<extra_id_0> three", "<extra_id_0> five"],
+        training=True,
+    )
+    return b
+
+
+def test_train_step_reduces_loss(setup):
+    atlas, index, cfg = setup
+    reader_opt, retr_opt = make_optimizers(cfg)
+    params = {"reader": atlas.reader_params, "retriever": atlas.retriever_params}
+    state = create_train_state(params, reader_opt, retr_opt)
+    step_fn = make_train_step(atlas, cfg, reader_opt, retr_opt)
+    batch = _batch(atlas, index)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(8):
+        state, metrics = step_fn(state, batch, rng, True)
+        losses.append(float(metrics["loss/train_loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_nan_grads_skip_update(setup):
+    atlas, index, cfg = setup
+    reader_opt, retr_opt = make_optimizers(cfg)
+    params = {"reader": atlas.reader_params, "retriever": atlas.retriever_params}
+    state = create_train_state(params, reader_opt, retr_opt)
+    step_fn = make_train_step(atlas, cfg, reader_opt, retr_opt)
+    batch = _batch(atlas, index)
+    # poison the params so the loss/grads go non-finite
+    bad_params = jax.tree.map(lambda x: x, state.params)
+    bad_params["reader"]["shared"] = bad_params["reader"]["shared"].at[0, 0].set(jnp.nan)
+    bad_state = state._replace(params=bad_params)
+    before = jax.tree.map(np.asarray, bad_params)  # host copy: step donates buffers
+    new_state, metrics = step_fn(bad_state, batch, jax.random.PRNGKey(0), True)
+    assert float(metrics["stats/skipped"]) == 1.0
+    # params unchanged by the skipped update
+    same = jax.tree.all(jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), b, equal_nan=True),
+        new_state.params, before))
+    assert same
+
+
+def test_grad_accumulation(setup):
+    atlas, index, cfg0 = setup
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg0, accumulation_steps=2)
+    reader_opt, retr_opt = make_optimizers(cfg)
+    params = {"reader": atlas.reader_params, "retriever": atlas.retriever_params}
+    state = create_train_state(params, reader_opt, retr_opt, accumulation_steps=2)
+    step_fn = make_train_step(atlas, cfg, reader_opt, retr_opt)
+    batch = _batch(atlas, index)
+    p0 = np.asarray(state.params["reader"]["shared"])  # host copy: step donates
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0), True)
+    # no update yet after 1 micro-step
+    assert np.array_equal(np.asarray(state.params["reader"]["shared"]), p0)
+    assert int(state.acc_count) == 1
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0), True)
+    assert int(state.acc_count) == 0  # first optimizer step applied (lr still 0 in warmup)
+    for _ in range(2):  # second optimizer step has lr > 0 -> params move
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(0), True)
+    assert not np.array_equal(np.asarray(state.params["reader"]["shared"]), p0)
+    assert int(state.acc_count) == 0
+
+
+def test_schedule_values():
+    cfg = AtlasConfig(scheduler="linear", warmup_steps=10, total_steps=100, lr=2.0)
+    sched = make_schedule(cfg, cfg.lr)
+    np.testing.assert_allclose(float(sched(0)), 0.2, atol=1e-6)  # ratio*lr at 0
+    np.testing.assert_allclose(float(sched(10)), 2.0, atol=1e-6)
+    assert float(sched(100)) < 0.3
+
+
+def test_checkpoint_save_resume(setup, tmp_path):
+    atlas, index, cfg0 = setup
+    import dataclasses
+
+    from atlas_tpu.model_io import load_or_initialize_atlas_model, save_atlas_model
+
+    cfg = dataclasses.replace(cfg0, checkpoint_dir=str(tmp_path), name="exp",
+                              save_optimizer=True)
+    save_atlas_model(atlas, None, step=7, cfg=cfg, dir_path=tmp_path / "exp", name="step-7")
+    assert (tmp_path / "exp" / "checkpoint" / "latest").exists()
+
+    atlas2, _, step2 = load_or_initialize_atlas_model(cfg)
+    assert step2 == 7
+    np.testing.assert_allclose(
+        np.asarray(atlas2.reader_params["shared"]),
+        np.asarray(atlas.reader_params["shared"]), atol=1e-6,
+    )
+    # finetune mode resets the step
+    cfg3 = dataclasses.replace(cfg, model_path=str(tmp_path / "exp" / "checkpoint" / "step-7"))
+    _, _, step3 = load_or_initialize_atlas_model(cfg3)
+    assert step3 == 0
