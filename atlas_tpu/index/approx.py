@@ -1,0 +1,232 @@
+"""Approximate (faiss-equivalent) distributed index modes: flat / pq / ivfflat /
+ivfpq / ivfsq.
+
+Behavioral reference: DistributedFAISSIndex (/root/reference/src/index.py:163-381),
+which delegates to faiss-gpu: PQ with 8-bit codes (code_size subquantizers), IVF with
+nlist = nprobe = ⌊√N⌋ (:212,:269), 4-bit scalar quantizer (:334), per-shard training
+on the local embeddings (:348-358), fp16 lookup tables. TPU-native redesign:
+
+- Quantizer state (PQ codebooks, coarse centroids, SQ ranges) is small and replicated;
+  CODES are row-sharded over the mesh exactly like the flat index's embeddings.
+- Search is the same one-jit shard_map protocol as the flat index, with the local scan
+  decoding code chunks on the fly (decode-and-matmul ADC: reconstruction is a gather
+  + the same MXU matmul as flat — HBM traffic drops by the compression factor, which
+  is the point of PQ/SQ at 400M-passage scale).
+- IVF keeps exact list semantics via a probe MASK: rows whose coarse cluster is not
+  among the query's nprobe nearest centroids score -inf. With the reference's
+  degenerate nprobe = nlist default this costs the same as its full scan; sparse
+  probing via a scalar-prefetch Pallas kernel is the planned fast path.
+- The ".faiss file" role (:228-243) is an npz of quantizer state + codes per process.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from atlas_tpu.index import quantize as Q
+from atlas_tpu.index.flat import NEG, DistributedIndex
+
+TRAIN_SAMPLE = 65536
+
+
+class DistributedApproxIndex(DistributedIndex):
+    def __init__(self, index_type: str = "flat", code_size: Optional[int] = None,
+                 mesh=None, dtype=jnp.bfloat16):
+        super().__init__(mesh=mesh, dtype=dtype)
+        assert index_type in ("flat", "pq", "ivfflat", "ivfpq", "ivfsq"), index_type
+        self.index_type = index_type
+        self.code_size = code_size  # PQ subquantizers (faiss code_size)
+        self.sq_bits = 4  # faiss QT_4bit (index.py:334)
+        self.quant: Dict[str, Any] = {}  # replicated quantizer state
+        self.codes: Optional[jax.Array] = None  # sharded (N_pad, M) uint8
+        self.cluster_of: Optional[jax.Array] = None  # sharded (N_pad,) int32
+
+    # ------------------------------------------------------------------ training
+
+    @property
+    def uses_pq(self) -> bool:
+        return self.index_type in ("pq", "ivfpq")
+
+    @property
+    def uses_sq(self) -> bool:
+        return self.index_type == "ivfsq"
+
+    @property
+    def uses_ivf(self) -> bool:
+        return self.index_type.startswith("ivf")
+
+    def is_index_trained(self) -> bool:
+        return bool(self.quant) or self.index_type == "flat"
+
+    def _nlist(self) -> int:
+        return max(1, math.floor(math.sqrt(self.n_total)))  # index.py:269
+
+    def nprobe(self) -> int:
+        return max(1, math.floor(math.sqrt(self.n_total)))  # index.py:212
+
+    def _train_sample(self) -> jnp.ndarray:
+        stride = max(1, self.n_total // TRAIN_SAMPLE)
+        return self.embeddings[: self.n_total : stride].astype(jnp.float32)
+
+    def train_index(self) -> None:
+        """(Re)train quantizers on the current embeddings and encode all rows
+        (reference lifecycle: reset + train at every refresh, index.py:348-358)."""
+        assert self.embeddings is not None and self.n_total > 0
+        key = jax.random.PRNGKey(0)
+        sample = self._train_sample()
+        quant: Dict[str, Any] = {}
+        if self.uses_pq:
+            M = self.code_size or 64
+            quant["codebooks"] = Q.pq_train(jax.random.fold_in(key, 1), sample, M)
+        if self.uses_sq:
+            scale, vmin = Q.sq_train(sample, self.sq_bits)
+            quant["sq_scale"], quant["sq_vmin"] = scale, vmin
+        if self.uses_ivf:
+            quant["centroids"] = Q.kmeans(jax.random.fold_in(key, 2), sample, self._nlist())
+        self.quant = quant
+        self._encode_all()
+        self._search_fn = None
+
+    def _encode_all(self) -> None:
+        """Row-parallel encode of the sharded embedding matrix into sharded codes."""
+        row_sharding = NamedSharding(self.mesh, P(("dp", "mp")))
+        if self.uses_pq:
+            self.codes = jax.jit(
+                Q.pq_encode,
+                out_shardings=NamedSharding(self.mesh, P(("dp", "mp"), None)),
+            )(self.quant["codebooks"], self.embeddings)
+        elif self.uses_sq:
+            self.codes = jax.jit(
+                functools.partial(Q.sq_encode, bits=self.sq_bits),
+                out_shardings=NamedSharding(self.mesh, P(("dp", "mp"), None)),
+            )(self.embeddings, self.quant["sq_scale"], self.quant["sq_vmin"])
+        if self.uses_ivf:
+            cents = self.quant["centroids"]
+
+            def assign(emb):
+                s = emb.astype(jnp.float32) @ cents.T - 0.5 * jnp.sum(cents * cents, axis=1)[None]
+                return jnp.argmax(s, axis=1).astype(jnp.int32)
+
+            self.cluster_of = jax.jit(assign, out_shardings=row_sharding)(self.embeddings)
+
+    # -------------------------------------------------------------------- search
+
+    def _decode_chunk(self, rows_emb, rows_codes):
+        """Reconstruct a chunk of vectors according to the index type."""
+        if self.uses_pq:
+            return Q.pq_decode(self.quant["codebooks"], rows_codes)
+        if self.uses_sq:
+            return Q.sq_decode(rows_codes, self.quant["sq_scale"], self.quant["sq_vmin"])
+        return rows_emb  # flat / ivfflat score on raw vectors
+
+    def _build_search(self, topk: int):
+        if self.index_type == "flat":
+            return super()._build_search(topk)
+        mesh, n_total, n_pad = self.mesh, self.n_total, self.n_pad
+        n_dev = self.n_devices
+        shard_rows = n_pad // n_dev
+        k_local = min(topk, shard_rows)
+        chunk = min(131072, shard_rows)
+        nchunks = -(-shard_rows // chunk)
+        uses_ivf = self.uses_ivf
+        nprobe = min(self.nprobe(), self._nlist()) if uses_ivf else 0
+        quant = self.quant
+        decode = self._decode_chunk
+        dtype = self.dtype
+
+        def local_search(queries, emb_shard, codes_shard, cluster_shard):
+            dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
+            B = queries.shape[0]
+            qf = queries.astype(jnp.float32)
+            if uses_ivf:
+                cents = quant["centroids"]
+                cscores = qf @ cents.T  # (B, nlist) inner-product coarse ranking
+                thresh = jax.lax.top_k(cscores, nprobe)[0][:, -1]  # (B,)
+                probe_mask = cscores >= thresh[:, None]  # (B, nlist)
+
+            def body(carry, ci):
+                vals, idx = carry
+                start = ci * chunk
+                e = jax.lax.dynamic_slice_in_dim(emb_shard, start, chunk, axis=0)
+                c = (jax.lax.dynamic_slice_in_dim(codes_shard, start, chunk, axis=0)
+                     if codes_shard is not None else None)
+                rec = decode(e, c).astype(dtype)
+                s = jax.lax.dot_general(
+                    queries.astype(dtype), rec,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (B, chunk)
+                gids = dev * shard_rows + start + jnp.arange(chunk)
+                s = jnp.where(gids[None, :] < n_total, s, NEG)
+                if uses_ivf:
+                    cl = jax.lax.dynamic_slice_in_dim(cluster_shard, start, chunk, axis=0)
+                    allowed = probe_mask[:, cl]  # (B, chunk)
+                    s = jnp.where(allowed, s, NEG)
+                kk = min(k_local, chunk)
+                cv, cidx = jax.lax.top_k(s, kk)
+                cgid = (gids[0] + cidx).astype(jnp.int32)
+                allv = jnp.concatenate([vals, cv], axis=1)
+                alli = jnp.concatenate([idx, cgid], axis=1)
+                nv, pos = jax.lax.top_k(allv, k_local)
+                return (nv, jnp.take_along_axis(alli, pos, axis=1)), None
+
+            init = (jnp.full((B, k_local), NEG, jnp.float32),
+                    jnp.zeros((B, k_local), jnp.int32))
+            (vals, gidx), _ = jax.lax.scan(body, init, jnp.arange(nchunks))
+
+            vals_all = jax.lax.all_gather(vals, ("dp", "mp"))
+            gidx_all = jax.lax.all_gather(gidx, ("dp", "mp"))
+            vals_all = vals_all.transpose(1, 0, 2).reshape(B, n_dev * k_local)
+            gidx_all = gidx_all.transpose(1, 0, 2).reshape(B, n_dev * k_local)
+            mvals, mpos = jax.lax.top_k(vals_all, topk)
+            mgids = jnp.take_along_axis(gidx_all, mpos, axis=1)
+            return mvals, mgids
+
+        row2 = P(("dp", "mp"), None)
+        row1 = P(("dp", "mp"))
+        in_specs = [P(), row2,
+                    row2 if self.codes is not None else P(),
+                    row1 if self.cluster_of is not None else P()]
+        shmapped = jax.shard_map(
+            local_search, mesh=mesh, in_specs=tuple(in_specs),
+            out_specs=(P(), P()), check_vma=False,
+        )
+        return jax.jit(shmapped)
+
+    def device_search(self, queries: jax.Array, topk: int) -> Tuple[jax.Array, jax.Array]:
+        if self.index_type == "flat":
+            return super().device_search(queries, topk)
+        assert self.is_index_trained(), "The index has not been trained."
+        if self._search_fn is None:
+            self._search_fn = functools.cache(self._build_search)
+        return self._search_fn(topk)(queries, self.embeddings, self.codes, self.cluster_of)
+
+    # ------------------------------------------------------------------------ io
+
+    def _quant_path(self, d: str) -> str:
+        suffix = f"{self.index_type}_{self.code_size}" if self.code_size else self.index_type
+        return os.path.join(d, f"quant_{suffix}_rank_{jax.process_index()}.npz")
+
+    def save_index(self, path: str, total_saved_shards: int, overwrite_saved_passages: bool = False) -> None:
+        super().save_index(path, total_saved_shards, overwrite_saved_passages)
+        if self.quant:
+            state = {k: np.asarray(v) for k, v in self.quant.items()}
+            np.savez(self._quant_path(path), **state)
+
+    def load_index(self, path: str, total_saved_shards: int) -> None:
+        super().load_index(path, total_saved_shards)
+        qpath = self._quant_path(path)
+        if os.path.exists(qpath):
+            data = np.load(qpath)
+            self.quant = {k: jnp.asarray(data[k]) for k in data.files}
+            self._encode_all()
+        else:
+            self.train_index()

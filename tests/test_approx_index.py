@@ -1,0 +1,108 @@
+"""Approximate index modes: quantizer correctness and recall vs exact search."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from atlas_tpu.index import quantize as Q
+from atlas_tpu.index.approx import DistributedApproxIndex
+from atlas_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh(devices):
+    return make_mesh(4, 2)
+
+
+def _corpus(n=2000, dim=32, seed=0):
+    rng = np.random.RandomState(seed)
+    embs = rng.randn(n, dim).astype(np.float32)
+    passages = [{"id": str(i), "title": f"t{i}", "text": f"p {i}"} for i in range(n)]
+    return embs, passages
+
+
+def test_kmeans_converges():
+    rng = np.random.RandomState(0)
+    # 4 well-separated blobs
+    centers = rng.randn(4, 8) * 10
+    data = np.concatenate([c + 0.1 * rng.randn(100, 8) for c in centers])
+    cents = np.asarray(Q.kmeans(jax.random.PRNGKey(0), jnp.asarray(data), 4, iters=20))
+    # every true center has a learned centroid within 1.0
+    d = np.linalg.norm(centers[:, None] - cents[None], axis=-1).min(axis=1)
+    assert (d < 1.0).all(), d
+
+
+def test_pq_roundtrip_reduces_error():
+    rng = np.random.RandomState(1)
+    data = rng.randn(1000, 32).astype(np.float32)
+    cb = Q.pq_train(jax.random.PRNGKey(0), jnp.asarray(data), M=8, iters=15)
+    codes = Q.pq_encode(cb, jnp.asarray(data))
+    assert codes.shape == (1000, 8) and codes.dtype == jnp.uint8
+    rec = np.asarray(Q.pq_decode(cb, codes))
+    rel_err = np.linalg.norm(rec - data) / np.linalg.norm(data)
+    assert rel_err < 0.7, rel_err  # 16x compression keeps most of the energy
+
+
+def test_sq_roundtrip():
+    rng = np.random.RandomState(2)
+    data = rng.randn(500, 16).astype(np.float32)
+    scale, vmin = Q.sq_train(jnp.asarray(data), bits=4)
+    codes = Q.sq_encode(jnp.asarray(data), scale, vmin, bits=4)
+    assert int(codes.max()) <= 15
+    rec = np.asarray(Q.sq_decode(codes, scale, vmin))
+    assert np.abs(rec - data).max() <= np.asarray(scale).max() * 1.01
+
+
+def _recall(index, embs, topk=10, nq=20):
+    q = embs[:nq]
+    _, gids = index.device_search(jnp.asarray(q), topk)
+    gids = np.asarray(gids)
+    exact = np.argsort(-(q @ embs.T), axis=1)[:, :topk]
+    return np.mean([len(set(gids[i]) & set(exact[i])) / topk for i in range(nq)])
+
+
+@pytest.mark.parametrize("index_type,code_size,min_recall", [
+    ("pq", 8, 0.5),
+    ("ivfflat", None, 0.95),  # degenerate nprobe=nlist -> near exact
+    ("ivfpq", 8, 0.5),
+    ("ivfsq", None, 0.8),
+])
+def test_approx_recall(mesh, index_type, code_size, min_recall):
+    embs, passages = _corpus()
+    index = DistributedApproxIndex(index_type, code_size, mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=32)
+    index.write_embeddings_rows(0, jnp.asarray(embs))
+    assert not index.is_index_trained()
+    index.train_index()
+    assert index.is_index_trained()
+    rec = _recall(index, embs)
+    assert rec >= min_recall, (index_type, rec)
+
+
+def test_approx_search_knn_docs(mesh):
+    embs, passages = _corpus(n=500)
+    index = DistributedApproxIndex("ivfflat", mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=32)
+    index.write_embeddings_rows(0, jnp.asarray(embs))
+    index.train_index()
+    docs, scores = index.search_knn(jnp.asarray(embs[[5]]), 3)
+    assert docs[0][0]["id"] == "5"
+
+
+def test_approx_save_load(mesh, tmp_path):
+    embs, passages = _corpus(n=300, seed=3)
+    index = DistributedApproxIndex("pq", 8, mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=32)
+    index.write_embeddings_rows(0, jnp.asarray(embs))
+    index.train_index()
+    index.save_index(str(tmp_path), total_saved_shards=4)
+
+    index2 = DistributedApproxIndex("pq", 8, mesh=mesh, dtype=jnp.float32)
+    index2.load_index(str(tmp_path), total_saved_shards=4)
+    assert index2.is_index_trained()
+    # same quantizer state -> same search results
+    _, g1 = index.device_search(jnp.asarray(embs[:4]), 5)
+    _, g2 = index2.device_search(jnp.asarray(embs[:4]), 5)
+    assert np.array_equal(np.asarray(g1), np.asarray(g2))
