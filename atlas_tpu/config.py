@@ -149,6 +149,10 @@ class AtlasConfig:
     generation_bucket: int = 0  # 0 = use generation_max_length
     # Shrink models to toy dimensions (smoke tests / CI on CPU).
     tiny_model: bool = False
+    # Per-chunk top-k selection recall for the flat MIPS scan: 1.0 = exact
+    # (lax.top_k); <1.0 uses the TPU PartialReduce op (~8x faster at 0.99,
+    # measured recall@100 vs exact: 0.998 on 1M x 768).
+    search_recall_target: float = 0.99
 
     # --- runtime-derived fields (populated by the runtime, not flags) ---
     is_main: bool = True

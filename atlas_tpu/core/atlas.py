@@ -237,27 +237,19 @@ class Atlas:
     # ---------------------------------------------------------------- index build
 
     def build_index(self, index, passages: Sequence[dict], embedder_batch_size: int, logger_=None) -> None:
-        """Embed the local passage shard in place (atlas.py:61-88): batches padded to
-        a fixed length, rows written into the sharded embedding matrix."""
-        n_batch = math.ceil(len(passages) / max(embedder_batch_size, 1))
-        total = 0
-        fstr = self.cfg.retriever_format
-        for i in range(n_batch):
-            batch = passages[i * embedder_batch_size : (i + 1) * embedder_batch_size]
-            texts = [fstr.format(**ex) for ex in batch]
-            nb = len(texts)
-            texts = texts + [""] * (embedder_batch_size - nb)  # static batch shape
-            tok = self.retriever_tokenizer(
-                texts, padding="max_length", truncation=True,
-                max_length=self._retr_maxlen(), return_tensors="np",
-            )
-            emb = self.embed_passages_device(jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]))
-            index.write_embeddings_rows(total, emb[:nb])
-            total += nb
-            if i % 500 == 0 and i > 0 and logger_ is not None:
-                logger_.info(f"Number of passages encoded: {total}")
-        if not index.is_index_trained():
-            index.train_index()
+        """Embed the corpus in place (atlas.py:61-88 semantics) using the sharded
+        refresh pipeline: every device embeds its own index-shard rows in parallel
+        (index/refresh.py), so refresh wall time scales with 1/n_devices."""
+        from atlas_tpu.index.refresh import ShardedCorpusEmbedder
+
+        embedder = getattr(self, "_corpus_embedder", None)
+        if (embedder is None or embedder.index is not index
+                or embedder.passages is not passages
+                or len(embedder.passages) != len(passages)):
+            per_dev = max(1, embedder_batch_size // max(index.n_devices, 1))
+            embedder = ShardedCorpusEmbedder(self, index, passages, batch_rows=per_dev)
+            self._corpus_embedder = embedder
+        embedder.refresh()
 
     # ------------------------------------------------------------------- forward
 

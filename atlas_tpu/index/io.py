@@ -16,9 +16,16 @@ import jax
 logger = logging.getLogger(__name__)
 
 
-def load_passages(filenames: Sequence[str], maxload: int = -1) -> List[dict]:
+def load_passages(filenames: Sequence[str], maxload: int = -1, native: bool = True):
     global_rank = jax.process_index()
     world_size = jax.process_count()
+    if native:
+        try:
+            from atlas_tpu.native import NativePassageStore
+
+            return NativePassageStore(list(filenames), world_size, global_rank, maxload)
+        except Exception as e:
+            logger.warning("native passage loader unavailable (%s); python fallback", e)
     passages: List[dict] = []
     counter = 0
     for fname in filenames:
@@ -44,8 +51,9 @@ def load_or_initialize_index(cfg, mesh=None, dim: int = 768):
     embedding width (the reference hardcodes EMBEDDINGS_DIM=768, retrievers.py:13)."""
     from atlas_tpu.index.flat import DistributedIndex
 
+    rt = getattr(cfg, "search_recall_target", 0.99)
     if cfg.index_mode == "flat":
-        index = DistributedIndex(mesh=mesh)
+        index = DistributedIndex(mesh=mesh, recall_target=rt)
     elif cfg.index_mode == "faiss":
         from atlas_tpu.index.approx import DistributedApproxIndex
 

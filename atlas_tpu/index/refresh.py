@@ -1,0 +1,113 @@
+"""Sharded in-place index refresh: the whole mesh embeds the corpus in parallel.
+
+The reference's build_index embeds the rank-local passage shard batch-by-batch on one
+GPU and writes columns in place (/root/reference/src/atlas.py:61-88). The TPU-native
+version keeps that in-place contract but parallelizes over the WHOLE mesh: the corpus
+rows are already row-sharded (index.flat), so each device embeds exactly the rows of
+its own shard — a shard_map whose per-device body runs the passage tower on `b` local
+rows and dynamic-update-slices them into the donated local embedding block. No
+cross-device traffic at all during refresh; the only host work is streaming
+tokenized slabs.
+
+Staleness toolkit around it (SURVEY.md §3.3): IndexRefreshScheduler decides when
+(utils/schedules.py), retrieve_with_rerank re-scores with the live passage tower
+between refreshes (core/atlas.py), query-side finetuning avoids refreshes entirely.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from atlas_tpu.models.contriever import retriever_embed
+
+logger = logging.getLogger(__name__)
+
+
+class ShardedCorpusEmbedder:
+    """Embeds a passage corpus into a row-sharded index across the full mesh."""
+
+    def __init__(self, atlas, index, passages: Sequence[dict], batch_rows: int = 256):
+        self.atlas = atlas
+        self.index = index
+        self.passages = passages if isinstance(passages, list) else list(passages)
+        self.mesh = index.mesh
+        self.n_dev = index.n_devices
+        self.shard_rows = index.n_pad // self.n_dev
+        # per-device rows per step, padded so every shard runs the same step count
+        self.b = min(batch_rows, self.shard_rows)
+        self.n_steps = math.ceil(self.shard_rows / self.b)
+        self._embed_step = None
+
+    # ------------------------------------------------------------------- device
+
+    def _build_step(self, params_tree):
+        atlas = self.atlas
+        bcfg = atlas.retriever_cfg
+        dtype = self.index.dtype
+
+        def body(params, emb_local, ids_local, mask_local, start):
+            # emb_local (shard_rows, D); ids_local (b, L): this device's rows
+            rows = retriever_embed(
+                params, bcfg, ids_local, mask_local,
+                is_passages=True, deterministic=True,
+            ).astype(dtype)
+            return jax.lax.dynamic_update_slice(emb_local, rows, (start, 0))
+
+        param_specs = jax.tree.map(lambda _: P(), params_tree)
+        shmapped = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(param_specs, P(("dp", "mp"), None), P(("dp", "mp"), None),
+                      P(("dp", "mp"), None), P()),
+            out_specs=P(("dp", "mp"), None),
+            check_vma=False,
+        )
+        return jax.jit(shmapped, donate_argnums=(1,))
+
+    # --------------------------------------------------------------------- host
+
+    def _tokenize_slab(self, start_local: int) -> tuple:
+        """Assemble the (n_dev * b, L) token slab: segment d holds shard d's rows
+        [start_local, start_local + b) (empty strings past the corpus tail)."""
+        fstr = self.atlas.cfg.retriever_format
+        texts = []
+        for d in range(self.n_dev):
+            base = d * self.shard_rows + start_local
+            for j in range(self.b):
+                gid = base + j
+                if gid < len(self.passages):
+                    texts.append(fstr.format(**self.passages[gid]))
+                else:
+                    texts.append("")
+        tok = self.atlas.retriever_tokenizer(
+            texts, padding="max_length", truncation=True,
+            max_length=self.atlas._retr_maxlen(), return_tensors="np",
+        )
+        return np.asarray(tok["input_ids"]), np.asarray(tok["attention_mask"])
+
+    def refresh(self, retriever_params=None) -> None:
+        """Re-embed the full corpus in place (donated buffers, zero extra HBM)."""
+        row_sharding = NamedSharding(self.mesh, P(("dp", "mp"), None))
+        emb = self.index.embeddings
+        params = self.atlas._cast(
+            retriever_params if retriever_params is not None else self.atlas.retriever_params
+        )
+        if self._embed_step is None:
+            self._embed_step = self._build_step(params)
+        for step in range(self.n_steps):
+            # last partial step re-embeds a small overlap instead of a ragged shape
+            start_local = min(step * self.b, self.shard_rows - self.b)
+            ids, mask = self._tokenize_slab(start_local)
+            ids = jax.device_put(jnp.asarray(ids), row_sharding)
+            mask = jax.device_put(jnp.asarray(mask), row_sharding)
+            emb = self._embed_step(params, emb, ids, mask, jnp.int32(start_local))
+        self.index.set_embeddings(emb)
+        if not self.index.is_index_trained():
+            self.index.train_index()
