@@ -153,6 +153,9 @@ class AtlasConfig:
     # (lax.top_k); <1.0 uses the TPU PartialReduce op (~8x faster at 0.99,
     # measured recall@100 vs exact: 0.998 on 1M x 768).
     search_recall_target: float = 0.99
+    # jax.profiler trace capture: "start-end" step range (e.g. "10-12"), "" = off.
+    # Traces land in {checkpoint_dir}/{name}/traces.
+    profile_steps: str = ""
 
     # --- runtime-derived fields (populated by the runtime, not flags) ---
     is_main: bool = True

@@ -32,6 +32,15 @@ from atlas_tpu.utils.stats import WeightedAvgStats
 logger = logging.getLogger(__name__)
 
 
+def _peak_memory_gib() -> float:
+    """Peak device HBM use (GiB); 0 where the backend exposes no memory stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return stats.get("peak_bytes_in_use", 0) / 2**30
+    except Exception:
+        return 0.0
+
+
 def train(
     atlas,
     index,
@@ -64,6 +73,11 @@ def train(
     train_step = make_train_step(atlas, cfg, reader_opt, retr_opt)
     rng = jax.random.PRNGKey(cfg.global_rank + cfg.seed)
 
+    profile_range = None
+    if cfg.profile_steps:
+        a, b = cfg.profile_steps.split("-")
+        profile_range = (int(a), int(b))
+
     total = max_steps if max_steps is not None else cfg.total_steps
     while step < total:
         data_iterator = task.data_iterator(
@@ -86,6 +100,10 @@ def train(
                     if cfg.save_index_path is not None:
                         save_embeddings_and_index(index, cfg)
             step += 1
+            if profile_range is not None and step == profile_range[0]:
+                trace_dir = os.path.join(cfg.checkpoint_dir, cfg.name, "traces")
+                jax.profiler.start_trace(trace_dir)
+                logger.info("profiler trace started -> %s", trace_dir)
             train_step_start = time.time()
 
             atlas.retriever_params = state.params["retriever"]
@@ -105,6 +123,10 @@ def train(
             state, metrics = train_step(state, device_batch, rng, train_retriever)
 
             jax.block_until_ready(metrics["loss/train_loss"])
+            if profile_range is not None and step == profile_range[1]:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace stopped")
+                profile_range = None
             iter_stats["runtime/train_step"] = (time.time() - train_step_start, 1)
             for k, v in metrics.items():
                 iter_stats[k] = (float(v), len(batch["query"]))
@@ -116,6 +138,7 @@ def train(
                     log += f" | {k}: {v:.3g}"
                     if tb_logger:
                         tb_logger.add_scalar(k, v, step)
+                log += f" | Memory: {_peak_memory_gib():.1f} GiB"  # train.py:136-140 role
                 logger.info(log)
                 run_stats.reset()
 

@@ -1,0 +1,92 @@
+"""End-to-end evaluation loops (evaluate / run_retrieval_only) on tiny fixtures."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from atlas_tpu.config import AtlasConfig
+from atlas_tpu.eval.loop import evaluate, run_retrieval_only
+from atlas_tpu.index.flat import DistributedIndex
+from atlas_tpu.parallel.mesh import make_mesh
+
+from helpers import tiny_atlas, tiny_passages
+
+
+@pytest.fixture(scope="module")
+def setup(devices, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("eval")
+    mesh = make_mesh(4, 2)
+    cfg = AtlasConfig(
+        text_maxlength=32, target_maxlength=16, n_context=2, retriever_n_context=2,
+        precision="fp32", task="qa", generation_max_length=8,
+        per_gpu_batch_size=2, write_results=True,
+        checkpoint_dir=str(tmp), name="evaltest",
+    )
+    atlas = tiny_atlas(cfg)
+    passages = tiny_passages(20)
+    index = DistributedIndex(mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=atlas.retriever_cfg.hidden_size)
+    atlas.build_index(index, passages, embedder_batch_size=8)
+
+    data_path = tmp / "qa.jsonl"
+    with open(data_path, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"question": f"number {i}?", "answers": [f"num {i}"]}) + "\n")
+    return atlas, index, cfg, str(data_path), tmp
+
+
+def test_evaluate_end_to_end(setup):
+    atlas, index, cfg, data_path, tmp = setup
+    metrics = evaluate(atlas, index, cfg, data_path, step=0)
+    assert set(metrics) >= {"exact_match", "f1", "eval_loss"}
+    assert np.isfinite(metrics["eval_loss"])
+    assert 0.0 <= metrics["exact_match"] <= 100.0
+    out = tmp / "evaltest" / "qa-step-0.jsonl"
+    assert out.exists()
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 5
+    assert {"query", "answers", "generation", "passages"} <= set(rows[0])
+
+
+def test_retrieve_only_end_to_end(setup):
+    atlas, index, cfg, data_path, tmp = setup
+    import dataclasses
+
+    cfg2 = dataclasses.replace(cfg, retrieve_only=True)
+    run_retrieval_only(atlas, index, cfg2, data_path, step=1)
+    out = tmp / "evaltest" / "qa-step-1.jsonl"
+    rows = [json.loads(l) for l in open(out)]
+    assert len(rows) == 5
+    assert len(rows[0]["passages"]) == cfg.n_context
+
+
+def test_evaluate_multiple_choice_postprocessing(setup, tmp_path):
+    atlas, index, cfg, _, tmp = setup
+    import dataclasses
+
+    mc_cfg = dataclasses.replace(
+        cfg, task="multiple_choice", multiple_choice_num_options=2,
+        multiple_choice_eval_permutations="cyclic", name="mctest",
+    )
+    atlas.cfg = mc_cfg
+    try:
+        data_path = tmp_path / "mc.jsonl"
+        with open(data_path, "w") as f:
+            for i in range(2):
+                f.write(json.dumps({
+                    "question": f"pick {i}", "options": {"A": f"alpha{i}", "B": f"beta{i}"},
+                    "answer": "A",
+                }) + "\n")
+        metrics = evaluate(atlas, index, mc_cfg, str(data_path), step=0)
+        assert "debiased_accuracy" in metrics
+        out = tmp / "mctest" / "mc-step-0.jsonl"
+        rows = [json.loads(l) for l in open(out)]
+        # permutations reduced: one row per original question, with choice probs
+        assert len(rows) == 2
+        assert "choice_probs" in rows[0] and "permutations" in rows[0]
+    finally:
+        atlas.cfg = cfg
