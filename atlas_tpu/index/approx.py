@@ -41,10 +41,12 @@ class DistributedApproxIndex(DistributedIndex):
     def __init__(self, index_type: str = "flat", code_size: Optional[int] = None,
                  mesh=None, dtype=jnp.bfloat16):
         super().__init__(mesh=mesh, dtype=dtype)
-        assert index_type in ("flat", "pq", "ivfflat", "ivfpq", "ivfsq"), index_type
+        assert index_type in ("flat", "pq", "ivfflat", "ivfpq", "ivfsq", "sq8"), index_type
         self.index_type = index_type
         self.code_size = code_size  # PQ subquantizers (faiss code_size)
-        self.sq_bits = 4  # faiss QT_4bit (index.py:334)
+        # faiss QT_4bit (index.py:334); "sq8" is the TPU-native 8-bit mode whose
+        # codes feed the MXU directly (see _build_search)
+        self.sq_bits = 8 if index_type == "sq8" else 4
         self.quant: Dict[str, Any] = {}  # replicated quantizer state
         self.codes: Optional[jax.Array] = None  # sharded (N_pad, M) uint8
         self.cluster_of: Optional[jax.Array] = None  # sharded (N_pad,) int32
@@ -57,7 +59,7 @@ class DistributedApproxIndex(DistributedIndex):
 
     @property
     def uses_sq(self) -> bool:
-        return self.index_type == "ivfsq"
+        return self.index_type in ("ivfsq", "sq8")
 
     @property
     def uses_ivf(self) -> bool:
@@ -119,13 +121,39 @@ class DistributedApproxIndex(DistributedIndex):
 
     # -------------------------------------------------------------------- search
 
-    def _decode_chunk(self, rows_emb, rows_codes):
-        """Reconstruct a chunk of vectors according to the index type."""
-        if self.uses_pq:
-            return Q.pq_decode(self.quant["codebooks"], rows_codes)
+    def _make_chunk_scorer(self):
+        """-> f(queries, emb_chunk, codes_chunk) -> (B, chunk) fp32 scores.
+
+        SQ scoring is FOLDED into the matmul instead of reconstructing vectors:
+        q . ((c + .5) * scale + vmin) = (q*scale) @ c  +  q . (vmin + .5*scale)
+        — the uint8 codes cast to bf16 feed the MXU directly; no (chunk, D)
+        fp32 reconstruction ever exists. PQ reconstructs per chunk (gather-bound
+        on TPU; kept for its 16-48x memory compression at 400M-passage scale)."""
+        quant, dtype = self.quant, self.dtype
+
         if self.uses_sq:
-            return Q.sq_decode(rows_codes, self.quant["sq_scale"], self.quant["sq_vmin"])
-        return rows_emb  # flat / ivfflat score on raw vectors
+            def score(queries, e, c):
+                qf = queries.astype(jnp.float32)
+                qs = (qf * quant["sq_scale"]).astype(dtype)
+                const = qf @ (quant["sq_vmin"] + 0.5 * quant["sq_scale"])
+                s = jax.lax.dot_general(
+                    qs, c.astype(dtype), dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                return s + const[:, None]
+            return score
+        if self.uses_pq:
+            def score(queries, e, c):
+                rec = Q.pq_decode(quant["codebooks"], c).astype(dtype)
+                return jax.lax.dot_general(
+                    queries.astype(dtype), rec, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            return score
+
+        def score(queries, e, c):
+            return jax.lax.dot_general(
+                queries.astype(dtype), e, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return score
 
     def _build_search(self, topk: int):
         if self.index_type == "flat":
@@ -139,8 +167,8 @@ class DistributedApproxIndex(DistributedIndex):
         uses_ivf = self.uses_ivf
         nprobe = min(self.nprobe(), self._nlist()) if uses_ivf else 0
         quant = self.quant
-        decode = self._decode_chunk
-        dtype = self.dtype
+        score_chunk = self._make_chunk_scorer()
+        recall_target = self.recall_target
 
         def local_search(queries, emb_shard, codes_shard, cluster_shard):
             dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
@@ -158,12 +186,7 @@ class DistributedApproxIndex(DistributedIndex):
                 e = jax.lax.dynamic_slice_in_dim(emb_shard, start, chunk, axis=0)
                 c = (jax.lax.dynamic_slice_in_dim(codes_shard, start, chunk, axis=0)
                      if codes_shard is not None else None)
-                rec = decode(e, c).astype(dtype)
-                s = jax.lax.dot_general(
-                    queries.astype(dtype), rec,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (B, chunk)
+                s = score_chunk(queries, e, c)  # (B, chunk)
                 gids = dev * shard_rows + start + jnp.arange(chunk)
                 s = jnp.where(gids[None, :] < n_total, s, NEG)
                 if uses_ivf:
@@ -171,7 +194,11 @@ class DistributedApproxIndex(DistributedIndex):
                     allowed = probe_mask[:, cl]  # (B, chunk)
                     s = jnp.where(allowed, s, NEG)
                 kk = min(k_local, chunk)
-                cv, cidx = jax.lax.top_k(s, kk)
+                if recall_target >= 1.0:
+                    cv, cidx = jax.lax.top_k(s, kk)
+                else:
+                    cv, cidx = jax.lax.approx_max_k(s, kk, recall_target=recall_target,
+                                                    aggregate_to_topk=True)
                 cgid = (gids[0] + cidx).astype(jnp.int32)
                 allv = jnp.concatenate([vals, cv], axis=1)
                 alli = jnp.concatenate([idx, cgid], axis=1)

@@ -68,6 +68,7 @@ def _recall(index, embs, topk=10, nq=20):
     ("ivfflat", None, 0.95),  # degenerate nprobe=nlist -> near exact
     ("ivfpq", 8, 0.5),
     ("ivfsq", None, 0.8),
+    ("sq8", None, 0.95),  # TPU-native int8 codes, MXU-direct scoring
 ])
 def test_approx_recall(mesh, index_type, code_size, min_recall):
     embs, passages = _corpus()
