@@ -143,10 +143,10 @@ class AtlasConfig:
     # "all devices / mp_size". The passage index is always sharded over the full mesh.
     dp_size: int = -1
     mp_size: int = 1
-    # Use Pallas kernels on TPU for hot ops (flash attention, fused MIPS top-k).
-    use_pallas: bool = True
-    # Bucketed padding sizes used to keep XLA shapes static across steps.
-    generation_bucket: int = 0  # 0 = use generation_max_length
+    # Use the explicit Pallas fused MIPS kernel for the local index scan instead of
+    # the XLA PartialReduce path (ops/pallas_mips.py; the XLA path measures faster
+    # on v5e, so this is off by default).
+    use_pallas: bool = False
     # Shrink models to toy dimensions (smoke tests / CI on CPU).
     tiny_model: bool = False
     # Per-chunk top-k selection recall for the flat MIPS scan: 1.0 = exact

@@ -150,10 +150,13 @@ class Atlas:
         labels, decoder_input_ids = self.reader_tokenize(query, target, target_tokens)
         return query_enc, labels, decoder_input_ids
 
-    def encode_passages_batch(self, batch: List[List[str]], tokenizer, max_length: int):
-        """(B lists of <=N strings) -> (B, N, L) fixed-shape arrays (atlas.py:26-39)."""
+    def encode_passages_batch(self, batch: List[List[str]], tokenizer, max_length: int,
+                              n_min: int = 0):
+        """(B lists of <=N strings) -> (B, N, L) fixed-shape arrays (atlas.py:26-39).
+        n_min pads the passage axis to a stable count so ragged file-passage lists
+        don't trigger a recompile per batch."""
         bsz = len(batch)
-        n = max(len(ex) for ex in batch)
+        n = max(max(len(ex) for ex in batch), n_min)
         flat = [s for ex in batch for s in ex + [""] * (n - len(ex))]
         tok = tokenizer(flat, padding="max_length", max_length=max_length,
                         truncation=True, return_tensors="np")
@@ -166,13 +169,14 @@ class Atlas:
         query_passages = [self.append_query(q, p) for q, p in zip(query, passages)]
         fstr = self.cfg.retriever_format
         retriever_passages = [[fstr.format(**p) for p in ex] for ex in passages]
+        n_min = self.cfg.n_context if self.cfg.use_file_passages else 0
         retriever_tok = None
         if self.retriever_tokenizer is not None:
             retriever_tok = self.encode_passages_batch(
-                retriever_passages, self.retriever_tokenizer, self._retr_maxlen()
+                retriever_passages, self.retriever_tokenizer, self._retr_maxlen(), n_min
             )
         reader_tok = self.encode_passages_batch(
-            query_passages, self.reader_tokenizer, self.cfg.text_maxlength
+            query_passages, self.reader_tokenizer, self.cfg.text_maxlength, n_min
         )
         return reader_tok, retriever_tok
 

@@ -46,11 +46,13 @@ class DistributedIndex:
     """Flat exact MIPS over a mesh-sharded embedding matrix."""
 
     def __init__(self, mesh: Optional[Mesh] = None, dtype=jnp.bfloat16,
-                 recall_target: float = 0.99):
+                 recall_target: float = 0.99, use_pallas: bool = False):
         self.mesh = mesh if mesh is not None else get_mesh()
         self.dtype = dtype
         # per-chunk selection recall (1.0 = exact); see ops/mips.py
         self.recall_target = recall_target
+        # explicit Pallas kernel instead of the XLA scan (ops/pallas_mips.py)
+        self.use_pallas = use_pallas
         self.embeddings: Optional[jax.Array] = None  # (N_pad, dim), sharded
         self.doc_store: Optional[DocStore] = None
         self.n_total = 0
@@ -128,8 +130,14 @@ class DistributedIndex:
             # chunk = whole shard when it fits: the lax.scan chunking costs an
             # extra copy of each chunk (measured 3.6ms -> 9-12ms at 1M x 768 on
             # v5e), so only engage it beyond ~1M rows/device
-            vals, idx = mips_topk(queries, emb_shard, k_local, n_valid=n_valid_local,
-                                  chunk=1_048_576, recall_target=self.recall_target)
+            if self.use_pallas:
+                from atlas_tpu.ops.pallas_mips import mips_topk_pallas
+
+                vals, idx = mips_topk_pallas(queries, emb_shard, k_local,
+                                             n_valid=n_valid_local)
+            else:
+                vals, idx = mips_topk(queries, emb_shard, k_local, n_valid=n_valid_local,
+                                      chunk=1_048_576, recall_target=self.recall_target)
             gidx = dev * shard_rows + idx
             # merge over the full mesh: (n_dev, B, k_local)
             vals_all = jax.lax.all_gather(vals, ("dp", "mp"))

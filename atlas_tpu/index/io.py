@@ -53,7 +53,8 @@ def load_or_initialize_index(cfg, mesh=None, dim: int = 768):
 
     rt = getattr(cfg, "search_recall_target", 0.99)
     if cfg.index_mode == "flat":
-        index = DistributedIndex(mesh=mesh, recall_target=rt)
+        index = DistributedIndex(mesh=mesh, recall_target=rt,
+                                 use_pallas=getattr(cfg, "use_pallas", False))
     elif cfg.index_mode == "faiss":
         from atlas_tpu.index.approx import DistributedApproxIndex
 
