@@ -73,9 +73,23 @@ class ShardedCorpusEmbedder:
 
     # --------------------------------------------------------------------- host
 
+    # Power-of-two-ish length buckets: the embed cost is proportional to the padded
+    # length, and wiki passages average ~1/3 of text_maxlength. Bucketing pads each
+    # slab to the smallest bucket >= its longest sequence — a handful of compiled
+    # shapes instead of per-slab recompiles (the reference pads "longest" per batch,
+    # atlas.py:70-76, which would recompile XLA every step).
+    LENGTH_BUCKETS = (32, 64, 128, 192, 256, 384, 512)
+
+    def _bucket(self, longest: int) -> int:
+        cap = self.atlas._retr_maxlen()
+        for b in self.LENGTH_BUCKETS:
+            if b >= longest and b <= cap:
+                return b
+        return cap
+
     def _tokenize_slab(self, start_local: int) -> tuple:
-        """Assemble the (n_dev * b, L) token slab: segment d holds shard d's rows
-        [start_local, start_local + b) (empty strings past the corpus tail)."""
+        """Assemble the (n_dev * b, L_bucket) token slab: segment d holds shard d's
+        rows [start_local, start_local + b) (empty strings past the corpus tail)."""
         fstr = self.atlas.cfg.retriever_format
         texts = []
         for d in range(self.n_dev):
@@ -87,10 +101,18 @@ class ShardedCorpusEmbedder:
                 else:
                     texts.append("")
         tok = self.atlas.retriever_tokenizer(
-            texts, padding="max_length", truncation=True,
+            texts, padding="longest", truncation=True,
             max_length=self.atlas._retr_maxlen(), return_tensors="np",
         )
-        return np.asarray(tok["input_ids"]), np.asarray(tok["attention_mask"])
+        ids = np.asarray(tok["input_ids"])
+        mask = np.asarray(tok["attention_mask"])
+        L = self._bucket(ids.shape[1])
+        if ids.shape[1] < L:
+            ids = np.pad(ids, ((0, 0), (0, L - ids.shape[1])))
+            mask = np.pad(mask, ((0, 0), (0, L - mask.shape[1])))
+        else:
+            ids, mask = ids[:, :L], mask[:, :L]
+        return ids, mask
 
     def refresh(self, retriever_params=None) -> None:
         """Re-embed the full corpus in place (donated buffers, zero extra HBM)."""
