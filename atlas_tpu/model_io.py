@@ -58,6 +58,9 @@ def tree_to_flat(tree, prefix="") -> Dict[str, np.ndarray]:
 
     def rec(node, path):
         if isinstance(node, dict):
+            if not node:  # e.g. optax EmptyState -> {}
+                out[path + "/__empty__"] = np.zeros(0)
+                return
             for k, v in node.items():
                 rec(v, f"{path}/{k}" if path else str(k))
         elif node is None:
@@ -75,6 +78,8 @@ def flat_to_tree(flat: Dict[str, np.ndarray], target):
         parts = k.split("/")
         if parts[-1] == "__none__":
             parts, v = parts[:-1], None
+        elif parts[-1] == "__empty__":
+            parts, v = parts[:-1], {}
         node = nested
         for p in parts[:-1]:
             node = node.setdefault(p, {})
@@ -256,8 +261,10 @@ def load_atlas_model(dir_path: str, cfg: AtlasConfig, reset_params=False, eval_o
 
     atlas = Atlas(cfg, reader_cfg, reader_params, retr_cfg, retr_params, reader_tok, retr_tok)
 
+    # returned FLAT (key-path -> array); the train loop reattaches it to the live
+    # optax state structure with flat_to_tree(raw, target)
     opt_flat = {k[len("optimizer/"):]: v for k, v in data.items() if k.startswith("optimizer/")}
-    opt_state_raw = flat_to_tree(opt_flat, None) if (opt_flat and not reset_params and not eval_only) else None
+    opt_state_raw = opt_flat if (opt_flat and not reset_params and not eval_only) else None
     return atlas, opt_state_raw, cfg_checkpoint, step
 
 

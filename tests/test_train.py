@@ -132,3 +132,38 @@ def test_checkpoint_save_resume(setup, tmp_path):
     cfg3 = dataclasses.replace(cfg, model_path=str(tmp_path / "exp" / "checkpoint" / "step-7"))
     _, _, step3 = load_or_initialize_atlas_model(cfg3)
     assert step3 == 0
+
+
+def test_optimizer_state_resume_roundtrip(setup, tmp_path):
+    """save_optimizer -> resume must restore Adam moments exactly."""
+    import dataclasses
+
+    from atlas_tpu.model_io import flat_to_tree, load_or_initialize_atlas_model, save_atlas_model
+
+    atlas, index, cfg0 = setup
+    cfg = dataclasses.replace(cfg0, checkpoint_dir=str(tmp_path), name="optresume",
+                              save_optimizer=True)
+    reader_opt, retr_opt = make_optimizers(cfg)
+    params = {"reader": atlas.reader_params, "retriever": atlas.retriever_params}
+    state = create_train_state(params, reader_opt, retr_opt)
+    step_fn = make_train_step(atlas, cfg, reader_opt, retr_opt)
+    batch = _batch(atlas, index)
+    for _ in range(3):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(0), True)
+
+    atlas.reader_params = state.params["reader"]
+    atlas.retriever_params = state.params["retriever"]
+    save_atlas_model(atlas, state.opt_state, step=3, cfg=cfg,
+                     dir_path=tmp_path / "optresume", name="step-3")
+
+    atlas2, opt_raw, step2 = load_or_initialize_atlas_model(cfg)
+    assert step2 == 3 and opt_raw is not None
+    params2 = {"reader": atlas2.reader_params, "retriever": atlas2.retriever_params}
+    state2 = create_train_state(params2, reader_opt, retr_opt)
+    restored = flat_to_tree(opt_raw, state2.opt_state)
+    # Adam mu for the reader embedding must match the trained state exactly
+    want = jax.tree.leaves(state.opt_state["reader"])
+    got = jax.tree.leaves(restored["reader"])
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=0, rtol=0)
