@@ -92,10 +92,9 @@ def beam_generate(
     B, N, L = input_ids.shape
     K = num_beams
     enc = fid_encode(params, cfg, input_ids, attention_mask, deterministic=True)
-    D = enc.shape[-1]
-    enc = jnp.repeat(enc, K, axis=0)  # (B*K, N*L, D)
-    enc_mask = jnp.repeat(attention_mask.reshape(B, N * L), K, axis=0)
-    cache = init_decode_cache(params, cfg, enc, enc_mask, max_length)
+    # cross K/V stay ONE copy per batch row; only the self cache carries beams
+    cache = init_decode_cache(params, cfg, enc, attention_mask.reshape(B, N * L),
+                              max_length, self_batch=B * K)
     V = params["shared"].shape[0]
 
     alive_seq = jnp.zeros((B, K, max_length), dtype=jnp.int32)
@@ -111,16 +110,15 @@ def beam_generate(
         return jax.vmap(lambda xb, ib: xb[ib])(x, idx)
 
     def gather_cache(cache, idx):
+        # Only the SELF cache is beam-dependent; cross K/V and bias are identical
+        # across beams of a batch row (the beam permutation is within-row), so
+        # re-gathering them would copy gigabytes per step for nothing.
         flat_idx = (idx + jnp.arange(B)[:, None] * K).reshape(-1)  # (B*K,)
-
-        def g(a):
-            if a.ndim >= 2 and a.shape[1] == B * K:  # (nL, B*K, ...)
-                return a[:, flat_idx]
-            if a.shape[0] == B * K:  # (B*K, ...)
-                return a[flat_idx]
-            return a
-
-        return jax.tree.map(g, cache)
+        return dict(
+            cache,
+            self_k=cache["self_k"][:, flat_idx],
+            self_v=cache["self_v"][:, flat_idx],
+        )
 
     def cond(state):
         t, alive_logp, fin_scores, fin_flags, *_ = state
@@ -133,7 +131,7 @@ def beam_generate(
     def body(state):
         t, alive_logp, fin_scores, fin_flags, alive_seq, fin_seq, cache = state
         tokens = jax.lax.dynamic_slice_in_dim(alive_seq, t, 1, axis=2).reshape(B * K)
-        logits, cache = t5_decode_step(params, cfg, tokens, t, cache)
+        logits, cache = t5_decode_step(params, cfg, tokens, t, cache, beam_size=K)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, K, V)
         if min_length > 0:
             logp = jnp.where((t + 1 < min_length) & (jnp.arange(V) == 1)[None, None, :], NEG, logp)

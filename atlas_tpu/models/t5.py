@@ -431,10 +431,14 @@ def cross_entropy(
 
 
 def init_decode_cache(
-    params, cfg: T5Config, encoder_hidden: jnp.ndarray, encoder_mask: jnp.ndarray, max_len: int
+    params, cfg: T5Config, encoder_hidden: jnp.ndarray, encoder_mask: jnp.ndarray,
+    max_len: int, self_batch: Optional[int] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Build the KV cache: cross-attention K/V precomputed once per layer (vmapped
-    over the stacked layer axis), zeroed self-attention K/V of length max_len."""
+    over the stacked layer axis), zeroed self-attention K/V of length max_len.
+
+    For beam search pass self_batch = rows*beams: the self cache carries every beam
+    while the cross cache stays one copy per row (see t5_decode_step beam_size)."""
     B = encoder_hidden.shape[0]
     H, Dh = cfg.num_heads, cfg.d_kv
     enc = encoder_hidden.astype(cfg.dtype)
@@ -444,20 +448,28 @@ def init_decode_cache(
 
     ca = params["decoder"]["layers"]["cross_attn"]
     nL = ca["k"].shape[0]
+    sb = self_batch if self_batch is not None else B
     return {
         "cross_k": proj(ca["k"]),
         "cross_v": proj(ca["v"]),
-        "self_k": jnp.zeros((nL, B, H, max_len, Dh), dtype=cfg.dtype),
-        "self_v": jnp.zeros((nL, B, H, max_len, Dh), dtype=cfg.dtype),
+        "self_k": jnp.zeros((nL, sb, H, max_len, Dh), dtype=cfg.dtype),
+        "self_v": jnp.zeros((nL, sb, H, max_len, Dh), dtype=cfg.dtype),
         "cross_bias": make_attention_bias(encoder_mask),  # (B,1,1,Lk)
     }
 
 
 def t5_decode_step(
-    params, cfg: T5Config, tokens: jnp.ndarray, pos: jnp.ndarray, cache: Dict[str, jnp.ndarray]
+    params, cfg: T5Config, tokens: jnp.ndarray, pos: jnp.ndarray,
+    cache: Dict[str, jnp.ndarray], beam_size: int = 1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One incremental decode step: tokens (B,) at position `pos` -> (logits (B,V),
-    updated cache). Layer stack driven by lax.scan over (params, cache) slices."""
+    updated cache). Layer stack driven by lax.scan over (params, cache) slices.
+
+    With beam_size=K > 1, tokens/self-cache carry B = rows*K flattened beams while
+    the cross K/V cache stays UNREPLICATED at `rows` — beams of a row share their
+    encoder states, so the cross attention contracts (rows, K, H, d) against
+    (rows, H, Lk, d) directly instead of copying the multi-GB cross cache K times.
+    """
     B = tokens.shape[0]
     Tmax = cache["self_k"].shape[3]
     x = jnp.take(params["shared"], tokens[:, None], axis=0).astype(cfg.dtype)  # (B,1,D)
@@ -485,8 +497,18 @@ def t5_decode_step(
         a = dot_product_attention(q, sk, sv, bias=self_bias)
         x = x + _merge_heads(a) @ lp["self_attn"]["o"]
         h = rms_norm(x, lp["ln2"], cfg.layer_norm_epsilon)
-        q = _split_heads(h @ lp["cross_attn"]["q"], cfg.num_heads)
-        a = dot_product_attention(q, ck, cv, bias=cross_bias)
+        q = _split_heads(h @ lp["cross_attn"]["q"], cfg.num_heads)  # (B,H,1,Dh)
+        if beam_size > 1:
+            rows = B // beam_size
+            qb = q.reshape(rows, beam_size, cfg.num_heads, cfg.d_kv)
+            scores = jnp.einsum("rkhd,rhld->rkhl", qb, ck,
+                                preferred_element_type=jnp.float32)
+            scores = scores + cross_bias[:, None, :, 0, :]  # (rows,1,1,Lk) -> bcast
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+            ab = jnp.einsum("rkhl,rhld->rkhd", probs, cv)
+            a = ab.reshape(B, cfg.num_heads, 1, cfg.d_kv)
+        else:
+            a = dot_product_attention(q, ck, cv, bias=cross_bias)
         x = x + _merge_heads(a) @ lp["cross_attn"]["o"]
         h = rms_norm(x, lp["ln3"], cfg.layer_norm_epsilon)
         x = x + _ffn_apply(lp["ffn"], h, cfg, True, None)
