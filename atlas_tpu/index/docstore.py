@@ -24,7 +24,9 @@ class DocStore:
     """
 
     def __init__(self, passages: Sequence[dict], row_offset: int = 0, n_total: int = -1):
-        self.passages = list(passages)
+        # keep the sequence as-is: NativePassageStore materializes dicts lazily,
+        # and list() here would allocate 33M python dicts up front
+        self.passages = passages if hasattr(passages, "__getitem__") else list(passages)
         self.row_offset = row_offset
         self.n_total = n_total if n_total >= 0 else len(self.passages)
 

@@ -36,7 +36,8 @@ class ShardedCorpusEmbedder:
     def __init__(self, atlas, index, passages: Sequence[dict], batch_rows: int = 256):
         self.atlas = atlas
         self.index = index
-        self.passages = passages if isinstance(passages, list) else list(passages)
+        # keep lazily-materializing stores (NativePassageStore) as-is
+        self.passages = passages if hasattr(passages, "__getitem__") else list(passages)
         self.mesh = index.mesh
         self.n_dev = index.n_devices
         self.shard_rows = index.n_pad // self.n_dev
