@@ -167,3 +167,32 @@ def test_optimizer_state_resume_roundtrip(setup, tmp_path):
     assert len(want) == len(got)
     for w, g in zip(want, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=0, rtol=0)
+
+
+def test_scheduled_refresh_updates_index(setup, tmp_path):
+    """The train loop must re-embed the index at scheduled steps with the CURRENT
+    retriever params (train.py:65-73 semantics)."""
+    import dataclasses
+
+    from atlas_tpu.train.loop import train as train_loop
+
+    atlas, index, cfg0 = setup
+    import json
+
+    data_path = tmp_path / "t.jsonl"
+    with open(data_path, "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"question": f"q{i}?", "answers": [f"a{i}"]}) + "\n")
+    cfg = dataclasses.replace(
+        cfg0, task="qa", refresh_index="2", train_data=[str(data_path)],
+        total_steps=5, log_freq=100, eval_freq=100, save_freq=100,
+        checkpoint_dir=str(tmp_path), name="refresh", lr_retriever=5e-2,
+        generation_max_length=8,
+    )
+    emb_before = np.asarray(jax.device_get(index.embeddings[:8]))
+    _, state, step = train_loop(atlas, index, list(tiny_passages(24)), 0, cfg,
+                                tmp_path / "refresh")
+    assert step == 5
+    emb_after = np.asarray(jax.device_get(index.embeddings[:8]))
+    # retriever moved (big lr) and the step-4 refresh re-embedded with new params
+    assert not np.allclose(emb_before, emb_after, atol=1e-5)
