@@ -306,13 +306,15 @@ class Atlas:
         n_ctx_train = min(cfg.n_context, N_ret)
         aux: Dict[str, jnp.ndarray] = {}
 
+        rng_q, rng_p, rng_r = (jax.random.split(rng, 3) if rng is not None
+                               else (None, None, None))
         retriever_score = None
         gold = None
         if train_retriever:
             retr_params = self._cast(params["retriever"])
             query_emb = retriever_embed(
                 retr_params, self.retriever_cfg, batch["retr_q_ids"], batch["retr_q_mask"],
-                is_passages=False, deterministic=not training, rng=rng,
+                is_passages=False, deterministic=not training, rng=rng_q,
             )
             p_ids, p_mask = batch["retr_p_ids"], batch["retr_p_mask"]
             if "std" in mode:
@@ -322,7 +324,7 @@ class Atlas:
                 retr_params, self.retriever_cfg, p_ids.reshape(B * Np, Lp),
                 p_mask.reshape(B * Np, Lp), is_passages=True,
                 query_side_training=cfg.query_side_retriever_training,
-                deterministic=not training, rng=rng,
+                deterministic=not training, rng=rng_p,
             ).reshape(B, Np, -1)
             retriever_score = jnp.einsum("id,ijd->ij", query_emb, passage_emb,
                                          preferred_element_type=jnp.float32)
@@ -338,7 +340,7 @@ class Atlas:
         capture = train_retriever and (cfg.compute_crossattention_stats or "std" in mode)
         reader_loss, _, stats = fid_forward(
             reader_params, rcfg, ids_t, mask_t, dec_in, labels=labels,
-            deterministic=not training, rng=rng, capture_cross_attn=capture,
+            deterministic=not training, rng=rng_r, capture_cross_attn=capture,
         )
         if capture:
             stats = jax.lax.stop_gradient(stats)
