@@ -352,7 +352,13 @@ class Atlas:
                 gold = select_crossattention_scores(agg, mode)
             if cfg.compute_crossattention_stats:
                 for k, v in agg.items():
-                    aux[f"corr/{k}"] = _corr(gold, v) if gold is not None else jnp.float32(0)
+                    # emdr gold is (B*N, T, V) logits, not a per-passage score —
+                    # correlation is only defined for (B, N)-shaped golds
+                    # (the reference crashes here too, atlas.py:527-534)
+                    if gold is not None and gold.size == v.size:
+                        aux[f"corr/{k}"] = _corr(gold, v)
+                    else:
+                        aux[f"corr/{k}"] = jnp.float32(0)
 
         retriever_loss = None
         if train_retriever and gold is not None:

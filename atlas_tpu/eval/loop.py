@@ -83,18 +83,23 @@ def evaluate(atlas, index, cfg, data_path, step=None):
         answers = batch.get("target", [""])
         batch_metadata = batch.get("metadata")
         target_tokens = batch.get("target_tokens")
+        is_padding_batch = (len(query) == 0) or (len(query[0]) == 0)
         query_enc, labels, decoder_input_ids = atlas.tokenize(query, answers, target_tokens=target_tokens)
         if not cfg.use_file_passages:
+            # padding ranks still run the retrieval (it participates in the
+            # sharded-search collective like the reference's all_gather protocol)
             retrieved_passages, _ = atlas.retrieve(
                 index, cfg.n_context, query,
                 query_enc["input_ids"], query_enc["attention_mask"],
                 batch_metadata=batch_metadata, filtering_fun=task.filter,
             )
+        elif is_padding_batch:
+            continue
         else:
             assert "passages" in batch, "cant use use_file_passages without passing passages"
             retrieved_passages = [p[: cfg.n_context] for p in batch["passages"]]
 
-        if (len(query) == 0) or (len(query[0]) == 0):  # padding batch
+        if is_padding_batch:
             continue
 
         reader_tokens, _ = atlas.tokenize_passages(query, retrieved_passages)

@@ -172,6 +172,7 @@ class DistributedApproxIndex(DistributedIndex):
 
         def local_search(queries, emb_shard, codes_shard, cluster_shard):
             dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
+            n_valid_dev = self._shard_valid_rows(dev)
             B = queries.shape[0]
             qf = queries.astype(jnp.float32)
             if uses_ivf:
@@ -188,7 +189,9 @@ class DistributedApproxIndex(DistributedIndex):
                      if codes_shard is not None else None)
                 s = score_chunk(queries, e, c)  # (B, chunk)
                 gids = dev * shard_rows + start + jnp.arange(chunk)
-                s = jnp.where(gids[None, :] < n_total, s, NEG)
+                # padding sits at each process-block tail (flat.py row space)
+                local_ids = start + jnp.arange(chunk)
+                s = jnp.where(local_ids[None, :] < n_valid_dev, s, NEG)
                 if uses_ivf:
                     cl = jax.lax.dynamic_slice_in_dim(cluster_shard, start, chunk, axis=0)
                     allowed = probe_mask[:, cl]  # (B, chunk)

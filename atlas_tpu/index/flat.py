@@ -70,19 +70,41 @@ class DistributedIndex:
         return NamedSharding(self.mesh, P(("dp", "mp"), None))
 
     def init_embeddings(self, passages: Sequence[dict], dim: int = EMBEDDINGS_DIM) -> None:
-        """Allocate the zeroed sharded embedding matrix + doc store (index.py:49-53)."""
+        """Allocate the zeroed sharded embedding matrix + doc store (index.py:49-53).
+
+        Global row space: process p owns the contiguous padded block
+        [p*rows_per_process, (p+1)*rows_per_process); its local passage j sits at
+        global row p*rows_per_process + j. Device shards subdivide each process
+        block, so a global id maps back to (process, local row) by div/mod —
+        the invariant every consumer (search masking, DocStore resolution,
+        refresh slab assembly, save/load) relies on.
+        """
         self.dim = dim
-        self.n_total = len(passages) * jax.process_count()  # local shards of a global corpus
-        if jax.process_count() == 1:
-            self.n_total = len(passages)
-        n_pad = _round_up(max(self.n_total, self.n_devices), self.n_devices)
+        P = jax.process_count()
+        local_count = len(passages)
+        if P == 1:
+            counts = [local_count]
+        else:
+            from jax.experimental import multihost_utils
+
+            counts = [int(c) for c in
+                      multihost_utils.process_allgather(np.array([local_count])).reshape(-1)]
+        dev_per_proc = self.n_devices // P
+        self.n_total = int(sum(counts))
+        self.proc_counts = counts
+        rows_per_process = _round_up(max(max(counts), dev_per_proc), dev_per_proc)
+        n_pad = rows_per_process * P
         self.embeddings = jax.jit(
             lambda: jnp.zeros((n_pad, dim), dtype=self.dtype),
             out_shardings=self.sharding,
         )()
-        row_offset = jax.process_index() * len(passages)
-        self.doc_store = DocStore(passages, row_offset=row_offset, n_total=self.n_total)
+        self.doc_store = DocStore(passages, row_offset=jax.process_index() * rows_per_process,
+                                  n_total=self.n_total)
         self._search_fn = None
+
+    @property
+    def rows_per_process(self) -> int:
+        return self.n_pad // max(jax.process_count(), 1)
 
     @property
     def n_pad(self) -> int:
@@ -115,6 +137,17 @@ class DistributedIndex:
 
     # -------------------------------------------------------------------- search
 
+    def _shard_valid_rows(self, dev):
+        """Traced count of valid rows on device `dev` (padding sits at each
+        process-block tail, so validity is per-process, not global-contiguous)."""
+        P = max(jax.process_count(), 1)
+        dev_per_proc = self.n_devices // P
+        shard_rows = self.n_pad // self.n_devices
+        counts = jnp.asarray(getattr(self, "proc_counts", [self.n_total]), dtype=jnp.int32)
+        p = dev // dev_per_proc
+        d_local = dev % dev_per_proc
+        return jnp.clip(counts[p] - d_local * shard_rows, 0, shard_rows)
+
     def _build_search(self, topk: int):
         mesh, n_total, n_pad = self.mesh, self.n_total, self.n_pad
         n_dev = self.n_devices
@@ -126,7 +159,7 @@ class DistributedIndex:
             dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
             # fused streaming scan+top-k (ops/mips.py) — no (B, shard_rows) score
             # matrix in HBM; padding rows beyond the corpus masked via n_valid
-            n_valid_local = jnp.clip(n_total - dev * shard_rows, 0, shard_rows)
+            n_valid_local = self._shard_valid_rows(dev)
             # chunk = whole shard when it fits: the lax.scan chunking costs an
             # extra copy of each chunk (measured 3.6ms -> 9-12ms at 1M x 768 on
             # v5e), so only engage it beyond ~1M rows/device
@@ -234,10 +267,21 @@ class DistributedIndex:
             meta = json.load(f)
         self.dim = meta["dim"]
         self.n_total = meta["n_total"]
-        n_pad = _round_up(max(self.n_total, self.n_devices), self.n_devices)
-        padded = np.zeros((n_pad // ws, self.dim), dtype=np.float16)
+        # same block row-space as init_embeddings: per-process padded blocks
+        if ws == 1:
+            counts = [local.shape[0]]
+        else:
+            from jax.experimental import multihost_utils
+
+            counts = [int(c) for c in
+                      multihost_utils.process_allgather(np.array([local.shape[0]])).reshape(-1)]
+        self.proc_counts = counts
+        dev_per_proc = self.n_devices // ws
+        rows_per_process = _round_up(max(max(counts), dev_per_proc), dev_per_proc)
+        n_pad = rows_per_process * ws
+        padded = np.zeros((rows_per_process, self.dim), dtype=np.float16)
         padded[: local.shape[0]] = local
-        row_offset = rank * (n_pad // ws)
+        row_offset = rank * rows_per_process
         self.doc_store = DocStore(passages, row_offset=row_offset, n_total=self.n_total)
         self.embeddings = jax.jit(
             lambda x: x.astype(self.dtype), out_shardings=self.sharding

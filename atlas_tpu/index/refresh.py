@@ -89,16 +89,21 @@ class ShardedCorpusEmbedder:
         return cap
 
     def _tokenize_slab(self, start_local: int) -> tuple:
-        """Assemble the (n_dev * b, L_bucket) token slab: segment d holds shard d's
-        rows [start_local, start_local + b) (empty strings past the corpus tail)."""
+        """Assemble the token slab for THIS PROCESS's devices: segment d holds local
+        shard d's rows [start_local, start_local + b). A device's local passage
+        index is its block-local row (flat.py row space); rows past the local
+        corpus tail embed the empty string."""
+        import jax
+
         fstr = self.atlas.cfg.retriever_format
+        dev_per_proc = self.n_dev // max(jax.process_count(), 1)
         texts = []
-        for d in range(self.n_dev):
-            base = d * self.shard_rows + start_local
+        for d in range(dev_per_proc):
+            base = d * self.shard_rows + start_local  # local row within this process's block
             for j in range(self.b):
-                gid = base + j
-                if gid < len(self.passages):
-                    texts.append(fstr.format(**self.passages[gid]))
+                lrow = base + j
+                if lrow < len(self.passages):
+                    texts.append(fstr.format(**self.passages[lrow]))
                 else:
                     texts.append("")
         tok = self.atlas.retriever_tokenizer(
@@ -107,7 +112,12 @@ class ShardedCorpusEmbedder:
         )
         ids = np.asarray(tok["input_ids"])
         mask = np.asarray(tok["attention_mask"])
-        L = self._bucket(ids.shape[1])
+        longest = ids.shape[1]
+        if jax.process_count() > 1:  # bucket must agree across hosts
+            from jax.experimental import multihost_utils
+
+            longest = int(multihost_utils.process_allgather(np.array([longest])).max())
+        L = self._bucket(longest)
         if ids.shape[1] < L:
             ids = np.pad(ids, ((0, 0), (0, L - ids.shape[1])))
             mask = np.pad(mask, ((0, 0), (0, L - mask.shape[1])))
@@ -124,12 +134,21 @@ class ShardedCorpusEmbedder:
         )
         if self._embed_step is None:
             self._embed_step = self._build_step(params)
+        multi = jax.process_count() > 1
         for step in range(self.n_steps):
             # last partial step re-embeds a small overlap instead of a ragged shape
             start_local = min(step * self.b, self.shard_rows - self.b)
             ids, mask = self._tokenize_slab(start_local)
-            ids = jax.device_put(jnp.asarray(ids), row_sharding)
-            mask = jax.device_put(jnp.asarray(mask), row_sharding)
+            if multi:
+                from jax.experimental import multihost_utils
+
+                ids = multihost_utils.host_local_array_to_global_array(
+                    ids, self.mesh, P(("dp", "mp"), None))
+                mask = multihost_utils.host_local_array_to_global_array(
+                    mask, self.mesh, P(("dp", "mp"), None))
+            else:
+                ids = jax.device_put(jnp.asarray(ids), row_sharding)
+                mask = jax.device_put(jnp.asarray(mask), row_sharding)
             emb = self._embed_step(params, emb, ids, mask, jnp.int32(start_local))
         self.index.set_embeddings(emb)
         if not self.index.is_index_trained():

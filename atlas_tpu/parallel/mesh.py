@@ -38,10 +38,14 @@ def init_distributed_mode(cfg=None) -> None:
             jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
         except Exception:
             pass
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("SLURM_NTASKS", "1") != "1" or "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    # Decide from the ENVIRONMENT (not jax.process_count(), which would initialize
+    # the local backend and break a later jax.distributed.initialize()).
+    multi = os.environ.get("SLURM_NTASKS", "1") != "1" or "COORDINATOR_ADDRESS" in os.environ
+    if multi:
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
     if cfg is not None:
         cfg.global_rank = jax.process_index()
         cfg.world_size = jax.process_count()
