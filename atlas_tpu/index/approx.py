@@ -75,8 +75,17 @@ class DistributedApproxIndex(DistributedIndex):
         return max(1, math.floor(math.sqrt(self.n_total)))  # index.py:212
 
     def _train_sample(self) -> jnp.ndarray:
-        stride = max(1, self.n_total // TRAIN_SAMPLE)
-        return self.embeddings[: self.n_total : stride].astype(jnp.float32)
+        """Sample valid rows only: padding sits at each process-block TAIL (flat.py
+        row space), so stride over each block's valid prefix instead of [0, n_total)."""
+        nproc = max(jax.process_count(), 1)
+        counts = getattr(self, "proc_counts", [self.n_total])
+        rpp = self.n_pad // nproc
+        per_proc = max(1, TRAIN_SAMPLE // nproc)
+        parts = []
+        for p in range(nproc):
+            stride = max(1, counts[p] // per_proc)
+            parts.append(self.embeddings[p * rpp : p * rpp + counts[p] : stride])
+        return jnp.concatenate(parts, axis=0).astype(jnp.float32)
 
     def train_index(self) -> None:
         """(Re)train quantizers on the current embeddings and encode all rows
@@ -158,7 +167,7 @@ class DistributedApproxIndex(DistributedIndex):
     def _build_search(self, topk: int):
         if self.index_type == "flat":
             return super()._build_search(topk)
-        mesh, n_total, n_pad = self.mesh, self.n_total, self.n_pad
+        mesh, n_pad = self.mesh, self.n_pad
         n_dev = self.n_devices
         shard_rows = n_pad // n_dev
         k_local = min(topk, shard_rows)

@@ -102,9 +102,6 @@ class DistributedIndex:
                                   n_total=self.n_total)
         self._search_fn = None
 
-    @property
-    def rows_per_process(self) -> int:
-        return self.n_pad // max(jax.process_count(), 1)
 
     @property
     def n_pad(self) -> int:
@@ -149,7 +146,7 @@ class DistributedIndex:
         return jnp.clip(counts[p] - d_local * shard_rows, 0, shard_rows)
 
     def _build_search(self, topk: int):
-        mesh, n_total, n_pad = self.mesh, self.n_total, self.n_pad
+        mesh, n_pad = self.mesh, self.n_pad
         n_dev = self.n_devices
         shard_rows = n_pad // n_dev
         k_local = min(topk, shard_rows)
@@ -198,13 +195,38 @@ class DistributedIndex:
         return self._search_fn(topk)(queries, self.embeddings)
 
     def search_knn(self, queries, topk: int) -> Tuple[List[List[dict]], List[List[float]]]:
-        """API-parity wrapper (index.py:122-157): resolve docs host-side by global id."""
-        queries = jnp.asarray(queries)
-        if queries.shape[0] == 0:
-            return [], []
+        """API-parity wrapper (index.py:122-157): resolve docs host-side by global id.
+
+        Multi-host: every process searches the UNION of all processes' queries (the
+        reference's varsize_all_gather protocol, index.py:127) so the jitted SPMD
+        search sees one identical replicated batch on every host — ragged or padding
+        ranks included — then each process keeps its own rows.
+        """
+        queries = np.asarray(queries, dtype=np.float32)
+        n_local = queries.shape[0]
+        P = jax.process_count()
+        if P > 1:
+            from jax.experimental import multihost_utils
+
+            sizes = multihost_utils.process_allgather(np.array([n_local])).reshape(-1)
+            m = int(sizes.max())
+            padded = np.zeros((max(m, 1), queries.shape[1] if queries.ndim == 2 else self.dim),
+                              dtype=np.float32)
+            padded[:n_local] = queries
+            allq = multihost_utils.process_allgather(padded).reshape(-1, padded.shape[1])
+        else:
+            if n_local == 0:
+                return [], []
+            allq = queries
         k = min(topk, self.n_total)
-        scores, gids = self.device_search(queries, k)
+        scores, gids = self.device_search(jnp.asarray(allq), k)
         scores_np, gids_np = np.asarray(scores), np.asarray(gids)
+        if P > 1:
+            start = jax.process_index() * int(max(int(sizes.max()), 1))
+            scores_np = scores_np[start : start + n_local]
+            gids_np = gids_np[start : start + n_local]
+        # always run the lookup: in multi-host it contains a host collective that
+        # every process (even one with zero local queries) must enter
         docs = self.doc_store.lookup_batch(gids_np)
         return docs, [list(map(float, row)) for row in scores_np]
 

@@ -93,7 +93,7 @@ class ShardedCorpusEmbedder:
         shard d's rows [start_local, start_local + b). A device's local passage
         index is its block-local row (flat.py row space); rows past the local
         corpus tail embed the empty string."""
-        import jax
+
 
         fstr = self.atlas.cfg.retriever_format
         dev_per_proc = self.n_dev // max(jax.process_count(), 1)

@@ -44,8 +44,11 @@ def init_distributed_mode(cfg=None) -> None:
     if multi:
         try:
             jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+        except RuntimeError as e:
+            # only double-init is benign; real failures (unreachable coordinator,
+            # barrier timeout) must be loud, not a silent 1-process run
+            if "already initialized" not in str(e).lower():
+                raise
     if cfg is not None:
         cfg.global_rank = jax.process_index()
         cfg.world_size = jax.process_count()
