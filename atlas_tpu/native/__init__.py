@@ -90,7 +90,6 @@ class NativePassageStore(Sequence):
         if not 0 <= i < self._n:
             raise IndexError(i)
         o = self._offsets[4 * i : 4 * i + 4]
-        dec = self._blob.decode if False else None  # keep slices bytes-level
         return {
             "id": self._blob[o[0]:o[1]].decode("utf-8"),
             "title": self._blob[o[1]:o[2]].decode("utf-8"),
