@@ -386,10 +386,17 @@ class Atlas:
             ids, mask = ids[:, None], mask[:, None]
         n_ctx = min(cfg.n_context, ids.shape[1])
         ids, mask = ids[:, :n_ctx], mask[:, :n_ctx]
-        reader_params = self._cast(self.reader_params)
+        # cache the compute-dtype cast across generate() calls (params are fixed
+        # during an eval pass; re-casting per batch would copy the whole tree)
+        cached = getattr(self, "_cast_reader_cache", None)
+        if cached is None or cached[0] is not self.reader_params:
+            cached = (self.reader_params, self._cast(self.reader_params))
+            self._cast_reader_cache = cached
+        reader_params = cached[1]
         min_len = cfg.generation_min_length or 0
         from atlas_tpu.eval.generate import beam_generate, greedy_generate
 
+        forced, plen = None, None
         if cfg.decoder_prompt_format is not None:
             prefix_strs = [cfg.decoder_prompt_format.format_map({"query": q}) for q in query]
             enc = self.reader_tokenizer(
@@ -399,22 +406,20 @@ class Atlas:
             )
             forced = jnp.asarray(enc["input_ids"])
             plen = jnp.asarray(np.asarray(enc["attention_mask"]).sum(axis=1))
-            out = greedy_generate(
-                reader_params, self.reader_cfg, ids, mask,
-                max_length=cfg.generation_max_length, min_length=min_len,
-                forced_prefix=forced, prefix_len=plen, has_prefix=True,
-            )
-        elif cfg.generation_num_beams > 1:
+
+        if cfg.generation_num_beams > 1:
             out = beam_generate(
                 reader_params, self.reader_cfg, ids, mask,
                 max_length=cfg.generation_max_length,
                 num_beams=cfg.generation_num_beams, min_length=min_len,
                 length_penalty=cfg.generation_length_penalty,
+                forced_prefix=forced, prefix_len=plen, has_prefix=forced is not None,
             )
         else:
             out = greedy_generate(
                 reader_params, self.reader_cfg, ids, mask,
                 max_length=cfg.generation_max_length, min_length=min_len,
+                forced_prefix=forced, prefix_len=plen, has_prefix=forced is not None,
             )
         return np.asarray(out)
 

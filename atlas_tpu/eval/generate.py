@@ -74,7 +74,8 @@ def greedy_generate(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "max_length", "min_length", "num_beams", "length_penalty"),
+    static_argnames=("cfg", "max_length", "min_length", "num_beams", "length_penalty",
+                     "has_prefix"),
 )
 def beam_generate(
     params,
@@ -85,6 +86,9 @@ def beam_generate(
     num_beams: int,
     min_length: int = 0,
     length_penalty: float = 1.0,
+    forced_prefix: Optional[jnp.ndarray] = None,  # (B, P) decoder-prompt forcing
+    prefix_len: Optional[jnp.ndarray] = None,  # (B,)
+    has_prefix: bool = False,
 ) -> jnp.ndarray:
     """HF-semantics beam search (early_stopping=False): length penalty
     sum_logprobs / len**penalty applied when a hypothesis finishes; search stops when
@@ -135,6 +139,13 @@ def beam_generate(
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, K, V)
         if min_length > 0:
             logp = jnp.where((t + 1 < min_length) & (jnp.arange(V) == 1)[None, None, :], NEG, logp)
+        if has_prefix:
+            # decoder-prompt forcing (prefix_allowed_tokens_fn role, atlas.py:602-636):
+            # while t < prefix_len[b], only the forced token is allowed
+            forced_tok = forced_prefix[:, jnp.minimum(t, forced_prefix.shape[1] - 1)]  # (B,)
+            in_prefix = (t < prefix_len)[:, None, None]  # (B,1,1)
+            allowed = (jnp.arange(V)[None, None, :] == forced_tok[:, None, None])
+            logp = jnp.where(in_prefix & ~allowed, NEG, logp)
         cand = alive_logp[:, :, None] + logp  # (B, K, V)
         flat = cand.reshape(B, K * V)
         top_vals, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
@@ -142,7 +153,9 @@ def beam_generate(
         tok_idx = (top_idx % V).astype(jnp.int32)
         seqs = gather_beams(alive_seq, beam_idx)  # (B, 2K, maxlen)
         seqs = seqs.at[:, :, t + 1].set(tok_idx)
-        is_eos = tok_idx == 1
+        # masked-out candidates (min_length / forced prefix) carry ~NEG scores and
+        # must never enter the finished pool
+        is_eos = (tok_idx == 1) & (top_vals > NEG / 2)
 
         # finished candidates: apply length penalty over generated length (t+1 tokens)
         hyp_len = (t + 1).astype(jnp.float32)
@@ -166,11 +179,14 @@ def beam_generate(
     state = (jnp.int32(0), alive_logp, fin_scores, fin_flags, alive_seq, fin_seq, cache)
     t, alive_logp, fin_scores, fin_flags, alive_seq, fin_seq, _ = jax.lax.while_loop(cond, body, state)
 
-    # fall back to best alive hypothesis when nothing finished
+    # finalize like HF: unfinished alive hypotheses join the pool with their
+    # length-penalized running scores; best overall wins
     alive_final = alive_logp / jnp.maximum(t.astype(jnp.float32), 1.0) ** length_penalty
-    any_fin = jnp.any(fin_flags, axis=1)
-    best_fin = jnp.argmax(jnp.where(fin_flags, fin_scores, NEG), axis=1)
+    fin_final = jnp.where(fin_flags, fin_scores, NEG)
+    best_fin = jnp.argmax(fin_final, axis=1)
     best_alive = jnp.argmax(alive_final, axis=1)
+    fin_best_score = jnp.take_along_axis(fin_final, best_fin[:, None], 1)[:, 0]
+    alive_best_score = jnp.take_along_axis(alive_final, best_alive[:, None], 1)[:, 0]
     pick_fin = gather_beams(fin_seq, best_fin[:, None])[:, 0]
     pick_alive = gather_beams(alive_seq, best_alive[:, None])[:, 0]
-    return jnp.where(any_fin[:, None], pick_fin, pick_alive)
+    return jnp.where((fin_best_score >= alive_best_score)[:, None], pick_fin, pick_alive)

@@ -84,8 +84,10 @@ def retriever_embed(
     elif is_passages:
         tower = params["passage_contriever"]
         if query_side_training:
-            # frozen passage encoder (retrievers.py:124-131)
+            # frozen passage encoder runs in eval mode: no grad AND no dropout
+            # (retrievers.py:124-131 puts it under .eval() + no_grad)
             tower = jax.lax.stop_gradient(tower)
+            deterministic, rng = True, None
     else:
         tower = params["query_contriever"]
     return contriever_embed(

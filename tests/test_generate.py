@@ -110,3 +110,19 @@ def test_forced_prefix():
     ))
     assert list(out[0, 1:4]) == [7, 9, 11]
     assert list(out[1, 1:3]) == [20, 21]
+
+
+def test_beam_forced_prefix():
+    _, cfg, params = _tiny()
+    rng = np.random.RandomState(5)
+    ids = rng.randint(2, VOCAB, (2, 8))
+    mask = np.ones((2, 8), dtype=np.int64)
+    prefix = np.array([[7, 9, 11], [20, 21, 22]], dtype=np.int32)
+    plen = np.array([3, 2])
+    out = np.asarray(beam_generate(
+        params, cfg, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]),
+        max_length=10, num_beams=3,
+        forced_prefix=jnp.asarray(prefix), prefix_len=jnp.asarray(plen), has_prefix=True,
+    ))
+    assert list(out[0, 1:4]) == [7, 9, 11]
+    assert list(out[1, 1:3]) == [20, 21]
