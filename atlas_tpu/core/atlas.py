@@ -60,9 +60,35 @@ class Atlas:
         self.reader_tokenizer = reader_tokenizer
         self.retriever_tokenizer = retriever_tokenizer
         self.compute_dtype = _dtype_of(cfg.precision)
+        self.mesh = None  # set by the entry points; enables dp batch sharding
 
         self._embed_jit = jax.jit(self._embed_fn, static_argnames=("is_passages",))
         self._reader_eval_jit = jax.jit(self._reader_eval_fn)
+
+    def set_mesh(self, mesh) -> None:
+        """Attach the global device mesh: every device batch built from here on is
+        sharded over "dp" (the reference gets this implicitly from DDP wrapping,
+        train.py:198-216; here it is an explicit placement)."""
+        self.mesh = mesh
+
+    def _put_batch(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Shard a host batch over the mesh's dp axis (no-op without a mesh)."""
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from atlas_tpu.parallel.sharding import shard_batch
+
+        return shard_batch(self.mesh, batch)
+
+    def _put_local(self, arrays: Dict[str, Any]) -> Dict[str, Any]:
+        """dp-shard PROCESS-LOCAL device inputs (query embed, eval decode). Unlike
+        the train batch these must stay host-local in multi-process runs: their
+        consumers (search_knn's union protocol, per-rank generation) read them back
+        with np.asarray."""
+        if self.mesh is None or jax.process_count() > 1:
+            return {k: jnp.asarray(v) for k, v in arrays.items()}
+        from atlas_tpu.parallel.sharding import shard_batch
+
+        return shard_batch(self.mesh, arrays)
 
     # ------------------------------------------------------------- device helpers
 
@@ -186,9 +212,8 @@ class Atlas:
         self, index, topk, query, query_ids_retriever, query_mask_retriever,
         batch_metadata=None, filtering_fun=None, iter_stats={}, training=False,
     ):
-        query_emb = self.embed_queries_device(
-            jnp.asarray(query_ids_retriever), jnp.asarray(query_mask_retriever)
-        )
+        q = self._put_local({"ids": query_ids_retriever, "mask": query_mask_retriever})
+        query_emb = self.embed_queries_device(q["ids"], q["mask"])
         search_start = time.time()
         if filtering_fun is not None:
             passages, scores = index.search_knn(query_emb, topk * self.cfg.filtering_overretrieve_ratio)
@@ -278,19 +303,19 @@ class Atlas:
             iter_stats["runtime/retrieve"] = (time.time() - retrieve_start, 1)
         reader_tok, retriever_tok = self.tokenize_passages(query, passages)
         batch = {
-            "reader_ids": jnp.asarray(reader_tok["input_ids"]),
-            "reader_mask": jnp.asarray(reader_tok["attention_mask"]),
-            "decoder_input_ids": jnp.asarray(decoder_input_ids),
-            "labels": jnp.asarray(labels),
-            "query_mask_reader": jnp.asarray(query_mask_reader),
+            "reader_ids": reader_tok["input_ids"],
+            "reader_mask": reader_tok["attention_mask"],
+            "decoder_input_ids": decoder_input_ids,
+            "labels": labels,
+            "query_mask_reader": query_mask_reader,
         }
         if query_enc is not None:
-            batch["retr_q_ids"] = jnp.asarray(query_enc["input_ids"])
-            batch["retr_q_mask"] = jnp.asarray(query_enc["attention_mask"])
+            batch["retr_q_ids"] = query_enc["input_ids"]
+            batch["retr_q_mask"] = query_enc["attention_mask"]
         if retriever_tok is not None:
-            batch["retr_p_ids"] = jnp.asarray(retriever_tok["input_ids"])
-            batch["retr_p_mask"] = jnp.asarray(retriever_tok["attention_mask"])
-        return batch, passages
+            batch["retr_p_ids"] = retriever_tok["input_ids"]
+            batch["retr_p_mask"] = retriever_tok["attention_mask"]
+        return self._put_batch(batch), passages
 
     def loss_fn(self, params, batch, rng, train_retriever: bool, training: bool = True):
         """Pure joint loss (device half of atlas.py:446-550). Differentiable w.r.t.
@@ -380,8 +405,9 @@ class Atlas:
         """Autoregressive decode (atlas.py:592-636): greedy or beam, with optional
         decoder-prompt forcing. Returns (B, max_length) np token ids incl. start."""
         cfg = self.cfg
-        ids = jnp.asarray(reader_tok["input_ids"])
-        mask = jnp.asarray(reader_tok["attention_mask"])
+        tok = self._put_local({"ids": reader_tok["input_ids"],
+                               "mask": reader_tok["attention_mask"]})
+        ids, mask = tok["ids"], tok["mask"]
         if ids.ndim == 2:
             ids, mask = ids[:, None], mask[:, None]
         n_ctx = min(cfg.n_context, ids.shape[1])
@@ -425,10 +451,12 @@ class Atlas:
 
     def compute_reader_loss_and_logits(self, reader_tok, decoder_input_ids, labels):
         """Eval-loss path (atlas.py:577-590)."""
+        arrs = self._put_local({
+            "ids": reader_tok["input_ids"], "mask": reader_tok["attention_mask"],
+            "dec": decoder_input_ids, "labels": labels,
+        })
         loss, logits = self._reader_eval_jit(
-            self.reader_params,
-            jnp.asarray(reader_tok["input_ids"]), jnp.asarray(reader_tok["attention_mask"]),
-            jnp.asarray(decoder_input_ids), jnp.asarray(labels),
+            self.reader_params, arrs["ids"], arrs["mask"], arrs["dec"], arrs["labels"]
         )
         return float(loss), logits
 

@@ -22,11 +22,20 @@ from atlas_tpu.utils.stats import avg_dist_dict
 logger = logging.getLogger(__name__)
 
 
-def _get_eval_data_iterator(cfg, data_path, task):
+def _local_batch_size(cfg, atlas):
+    """Process-local eval batch: per-device batch x this process's dp rows."""
+    if getattr(atlas, "mesh", None) is None:
+        return cfg.per_gpu_batch_size
+    from atlas_tpu.parallel.mesh import local_dp_size
+
+    return cfg.per_gpu_batch_size * local_dp_size(atlas.mesh)
+
+
+def _get_eval_data_iterator(cfg, data_path, task, batch_size=None):
     data_iterator = task.data_iterator(data_path, cfg.global_rank, cfg.world_size,
                                        opt=cfg, is_eval=True)
     data_iterator = filter(None, map(task.process, data_iterator))
-    data_iterator = list(task.batch_iterator(data_iterator, cfg.per_gpu_batch_size))
+    data_iterator = list(task.batch_iterator(data_iterator, batch_size or cfg.per_gpu_batch_size))
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
@@ -41,7 +50,7 @@ def run_retrieval_only(atlas, index, cfg, data_path, step=None):
     metrics = defaultdict(list)
     dataset_wpred = []
     task = get_task(cfg, atlas.reader_tokenizer)
-    data_iterator = _get_eval_data_iterator(cfg, data_path, task)
+    data_iterator = _get_eval_data_iterator(cfg, data_path, task, _local_batch_size(cfg, atlas))
 
     for batch in data_iterator:
         query = batch.get("query", [""])
@@ -76,7 +85,7 @@ def evaluate(atlas, index, cfg, data_path, step=None):
     metrics = defaultdict(list)
     dataset_wpred = []
     task = get_task(cfg, atlas.reader_tokenizer)
-    data_iterator = _get_eval_data_iterator(cfg, data_path, task)
+    data_iterator = _get_eval_data_iterator(cfg, data_path, task, _local_batch_size(cfg, atlas))
 
     for batch in data_iterator:
         query = batch.get("query", [""])

@@ -16,7 +16,6 @@ re-shardable save/load. TPU-native redesign:
 
 from __future__ import annotations
 
-import functools
 import json
 import logging
 import math
@@ -57,7 +56,9 @@ class DistributedIndex:
         self.doc_store: Optional[DocStore] = None
         self.n_total = 0
         self.dim = EMBEDDINGS_DIM
-        self._search_fn = None
+        # jitted search executables keyed by (topk, n_pad, dtype): shape-stable
+        # across refreshes, so hot-swapping embeddings does NOT retrigger a trace
+        self._search_cache = {}
 
     # ----------------------------------------------------------------- lifecycle
 
@@ -100,7 +101,7 @@ class DistributedIndex:
         )()
         self.doc_store = DocStore(passages, row_offset=jax.process_index() * rows_per_process,
                                   n_total=self.n_total)
-        self._search_fn = None
+        self._search_cache.clear()  # proc_counts / n_pad changed
 
 
     @property
@@ -110,8 +111,7 @@ class DistributedIndex:
     def set_embeddings(self, embeddings: jax.Array) -> None:
         """Install a freshly computed (N_pad, dim) sharded matrix (refresh hot-swap)."""
         assert embeddings.shape == (self.n_pad, self.dim), embeddings.shape
-        self.embeddings = embeddings
-        self._search_fn = None
+        self.embeddings = embeddings  # search executables stay valid (same shapes)
 
     def write_embeddings_rows(self, start: int, rows: jax.Array) -> None:
         """In-place row-range update (refresh writes, atlas.py:79 semantics).
@@ -124,7 +124,6 @@ class DistributedIndex:
             out_shardings=self.sharding,
         )
         self.embeddings = upd(self.embeddings, rows)
-        self._search_fn = None
 
     def is_index_trained(self) -> bool:
         return True
@@ -190,9 +189,11 @@ class DistributedIndex:
 
     def device_search(self, queries: jax.Array, topk: int) -> Tuple[jax.Array, jax.Array]:
         """(B, D) queries -> (scores (B,k) fp32, global ids (B,k) int32), one jit."""
-        if self._search_fn is None:
-            self._search_fn = functools.cache(self._build_search)
-        return self._search_fn(topk)(queries, self.embeddings)
+        key = (topk, self.n_pad, str(self.embeddings.dtype), self.use_pallas)
+        fn = self._search_cache.get(key)
+        if fn is None:
+            fn = self._search_cache[key] = self._build_search(topk)
+        return fn(queries, self.embeddings)
 
     def search_knn(self, queries, topk: int) -> Tuple[List[List[dict]], List[List[float]]]:
         """API-parity wrapper (index.py:122-157): resolve docs host-side by global id.
@@ -308,7 +309,7 @@ class DistributedIndex:
         self.embeddings = jax.jit(
             lambda x: x.astype(self.dtype), out_shardings=self.sharding
         )(jnp.asarray(padded) if ws == 1 else self._from_process_local(padded, n_pad))
-        self._search_fn = None
+        self._search_cache.clear()  # proc_counts / n_pad changed
 
     def _from_process_local(self, local_rows: np.ndarray, n_pad: int) -> jax.Array:
         from jax.experimental import multihost_utils

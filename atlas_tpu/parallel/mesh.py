@@ -86,6 +86,12 @@ def mesh_shape(mesh: Mesh) -> Tuple[int, int]:
     return mesh.shape["dp"], mesh.shape["mp"]
 
 
+def local_dp_size(mesh: Mesh) -> int:
+    """Number of dp rows owned by this process (devices are process-ordered in
+    make_mesh, so each process holds a contiguous block of dp rows)."""
+    return max(1, mesh.shape.get("dp", 1) // max(jax.process_count(), 1))
+
+
 def index_sharding(mesh: Mesh) -> NamedSharding:
     """Row-sharding of the passage-embedding matrix over the full mesh."""
     return NamedSharding(mesh, P(("dp", "mp"), None))

@@ -116,7 +116,75 @@ def shard_params(mesh: Mesh, params, specs=None):
     return jax.tree.map(lambda x, s: jax.device_put(x, s), params, shardings)
 
 
+def _spec_axes(spec) -> set:
+    used = set()
+    for entry in tuple(spec):
+        if entry is None:
+            continue
+        used.update(entry if isinstance(entry, tuple) else (entry,))
+    return used
+
+
+def fsdp_param_specs(params, specs, dp_size: int, min_size: int = 1024):
+    """Widen param specs with "dp" sharding on the largest free divisible axis.
+
+    TPU-native ZeRO/FSDP: the reference shards optimizer state and gradients over
+    data-parallel workers with fairscale OSS + ShardedDataParallel
+    (/root/reference/src/util.py:173-178, train.py:199-208). Here the PARAMS (and by
+    sharding propagation their gradients and Adam moments) are sharded over the "dp"
+    mesh axis; XLA inserts the all-gathers/reduce-scatters. Leaves smaller than
+    `min_size` elements or with no free axis divisible by dp stay on their base spec.
+    """
+
+    def widen(x, spec):
+        base = tuple(spec) + (None,) * (x.ndim - len(tuple(spec)))
+        if dp_size <= 1 or x.size < min_size or "dp" in _spec_axes(base):
+            return P(*base)
+        best_dim, best_ax = 0, None
+        for ax, (dim, entry) in enumerate(zip(x.shape, base)):
+            if entry is None and dim % dp_size == 0 and dim > best_dim:
+                best_dim, best_ax = dim, ax
+        if best_ax is None:
+            return P(*base)
+        widened = list(base)
+        widened[best_ax] = "dp"
+        return P(*widened)
+
+    return jax.tree.map(widen, params, specs)
+
+
+def batch_spec(x) -> P:
+    """Shard an array over its leading (global batch) axis."""
+    return P("dp", *([None] * (x.ndim - 1)))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host-local batch tree onto the mesh, sharded over "dp".
+
+    Single-process: device_put over dp (replicate when the batch size does not
+    divide dp — e.g. a ragged final eval batch). Multi-process: each process
+    contributes its local rows of the global batch
+    (multihost_utils.host_local_array_to_global_array), replacing the reference's
+    implicit DDP per-rank batches (train.py:198-216).
+    """
+    import numpy as np
+
+    batch = jax.tree.map(np.asarray, batch)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        specs = jax.tree.map(batch_spec, batch)
+        return multihost_utils.host_local_array_to_global_array(batch, mesh, specs)
+    dp = mesh.shape.get("dp", 1)
+
+    def put(x):
+        spec = batch_spec(x) if x.ndim > 0 and x.shape[0] % dp == 0 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
 # Optimizer-state sharding: adam mu/nu mirror the param tree, so initializing the
 # state inside jit with already-sharded params (jax.jit(opt.init)(params)) lets XLA
 # propagate each param's sharding onto its moments — ZeRO-by-annotation with no
-# explicit spec plumbing. See train/state.py.
+# explicit spec plumbing. See train/step.py.

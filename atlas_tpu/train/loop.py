@@ -22,6 +22,8 @@ from atlas_tpu.config import AtlasConfig
 from atlas_tpu.eval.loop import evaluate
 from atlas_tpu.index.io import save_embeddings_and_index
 from atlas_tpu.model_io import save_atlas_model
+from atlas_tpu.parallel.mesh import get_mesh, local_dp_size
+from atlas_tpu.parallel.sharding import atlas_param_specs, fsdp_param_specs, shard_params
 from atlas_tpu.tasks import get_task
 from atlas_tpu.train.optim import make_optimizers
 from atlas_tpu.train.step import TrainState, create_train_state, make_train_step
@@ -58,9 +60,34 @@ def train(
         cfg.refresh_index, cfg.freeze_retriever_steps, cfg.train_retriever
     )
 
+    # --- mesh wiring: every real run is data-parallel (reference train.py:198-216
+    # wraps the model in DDP/ShardedDataParallel; here params and batches get
+    # explicit GSPMD placements over the global ("dp", "mp") mesh) ---
+    mesh = getattr(index, "mesh", None) or get_mesh(cfg.dp_size, cfg.mp_size)
+    atlas.set_mesh(mesh)
+    ldp = local_dp_size(mesh)
+    local_bsz = cfg.per_gpu_batch_size * ldp  # per-device batch x local dp rows
+    logger.info(
+        "mesh %s: per-device batch %d, process-local batch %d, global batch %d",
+        dict(mesh.shape), cfg.per_gpu_batch_size, local_bsz,
+        cfg.per_gpu_batch_size * mesh.shape.get("dp", 1),
+    )
+
     reader_opt, retr_opt = make_optimizers(cfg)
     params = {"reader": atlas.reader_params, "retriever": atlas.retriever_params}
+    specs = atlas_param_specs(params)
+    if cfg.shard_optim or cfg.shard_grads:
+        # ZeRO/FSDP over dp: grads + Adam moments inherit the dp-sharded param specs
+        specs = fsdp_param_specs(params, specs, mesh.shape.get("dp", 1))
+    params = shard_params(mesh, params, specs)
     state = create_train_state(params, reader_opt, retr_opt, cfg.accumulation_steps)
+    # params must actually be distributed over the mesh, not resident on device 0
+    n_mesh_devices = mesh.devices.size
+    for leaf in jax.tree.leaves(state.params):
+        assert len(leaf.sharding.device_set) == n_mesh_devices, (
+            f"param leaf not distributed: {leaf.sharding} vs {n_mesh_devices} devices"
+        )
+        break
     if opt_state_raw is not None:
         from atlas_tpu.model_io import flat_to_tree  # restore optimizer state
 
@@ -79,6 +106,7 @@ def train(
         profile_range = (int(a), int(b))
 
     total = max_steps if max_steps is not None else cfg.total_steps
+    batch_placement_checked = False
     while step < total:
         data_iterator = task.data_iterator(
             cfg.train_data, cfg.global_rank, cfg.world_size,
@@ -86,7 +114,7 @@ def train(
         )
         data_iterator = filter(None, map(task.process, data_iterator))
         data_iterator = task.batch_iterator(
-            data_iterator, cfg.per_gpu_batch_size, drop_last=True, shuffle=cfg.shuffle
+            data_iterator, local_bsz, drop_last=True, shuffle=cfg.shuffle
         )
         for batch in data_iterator:
             iter_stats = {}
@@ -119,6 +147,13 @@ def train(
                 training=True,
                 iter_stats=iter_stats,
             )
+            if not batch_placement_checked:
+                shd = device_batch["reader_ids"].sharding
+                assert len(shd.device_set) == n_mesh_devices, (
+                    f"batch not distributed over the mesh: {shd}"
+                )
+                logger.info("device batch sharding: %s", shd)
+                batch_placement_checked = True
             train_retriever = cfg.train_retriever and step > cfg.freeze_retriever_steps
             state, metrics = train_step(state, device_batch, rng, train_retriever)
 

@@ -32,19 +32,69 @@ class TrainState(NamedTuple):
     acc_count: jnp.ndarray  # scalar int32 micro-steps since last update
 
 
+def _opt_state_shardings(opt, params):
+    """Shardings for opt.init's output: each moment leaf inherits its param's
+    sharding, scalars (e.g. Adam count) are replicated.
+
+    XLA does NOT propagate input shardings onto value-independent outputs (the
+    zero-initialized moments come out SingleDeviceSharding from a bare
+    jax.jit(opt.init)), so ZeRO needs these stated explicitly. Moments are matched
+    to params by key-path suffix: optax states embed the param tree whole, so a mu
+    leaf's path ends with its param's path.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+    from jax.tree_util import keystr, tree_flatten_with_path, tree_map_with_path
+
+    mesh = None
+    for leaf in jax.tree.leaves(params):
+        sh = getattr(leaf, "sharding", None)
+        if isinstance(sh, NamedSharding):
+            mesh = sh.mesh
+            break
+    if mesh is None:  # host/single-device params: let jit place freely
+        return None
+    param_paths = [(keystr(path), leaf.sharding, tuple(leaf.shape))
+                   for path, leaf in tree_flatten_with_path(params)[0]]
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def assign(path, leaf):
+        ks = keystr(path)
+        best = None
+        for pks, sh, shape in param_paths:
+            if ks.endswith(pks) and shape == tuple(leaf.shape):
+                if best is None or len(pks) > len(best[0]):
+                    best = (pks, sh)
+        return best[1] if best is not None else replicated
+
+    return tree_map_with_path(assign, jax.eval_shape(opt.init, params))
+
+
+def _init_opt_state(opt, params):
+    shardings = _opt_state_shardings(opt, params)
+    if shardings is None:
+        return jax.jit(opt.init)(params)
+    return jax.jit(opt.init, out_shardings=shardings)(params)
+
+
 def create_train_state(params, reader_opt, retr_opt, accumulation_steps: int = 1) -> TrainState:
-    """Initialize under jit so optimizer moments inherit param shardings (ZeRO).
+    """Initialize optimizer state with each moment sharded like its param (ZeRO).
 
     The train step donates its state buffers; the state therefore takes a PRIVATE
     copy of the params so callers' references (e.g. Atlas.reader_params) stay valid.
     """
-    params = jax.tree.map(jnp.copy, params)
-    opt_state = {"reader": jax.jit(reader_opt.init)(params["reader"])}
+    # jitted identity copy: out shardings propagate from the inputs, so an
+    # FSDP/TP-sharded param tree stays sharded through the private copy
+    params = jax.jit(lambda t: jax.tree.map(jnp.copy, t))(params)
+    opt_state = {"reader": _init_opt_state(reader_opt, params["reader"])}
     if params.get("retriever") is not None:
-        opt_state["retriever"] = jax.jit(retr_opt.init)(params["retriever"])
+        opt_state["retriever"] = _init_opt_state(retr_opt, params["retriever"])
     grad_acc = None
     if accumulation_steps > 1:
-        grad_acc = jax.tree.map(lambda x: jnp.zeros_like(x, dtype=jnp.float32), params)
+        shardings = jax.tree.map(lambda x: x.sharding, params)
+        grad_acc = jax.jit(
+            lambda t: jax.tree.map(lambda x: jnp.zeros_like(x, dtype=jnp.float32), t),
+            out_shardings=shardings,
+        )(params)
     return TrainState(
         step=jnp.int32(0), params=params, opt_state=opt_state,
         grad_acc=grad_acc, acc_count=jnp.int32(0),

@@ -31,6 +31,17 @@ def main():
         cfg.dump(os.path.join(checkpoint_path, "opt.log"))
 
     atlas, _, step = load_or_initialize_atlas_model(cfg, eval_only=True)
+    # distribute params + eval batches over the mesh (TP over "mp", replicated
+    # over "dp"; batches shard over "dp" via atlas.set_mesh)
+    from atlas_tpu.parallel.sharding import shard_params
+
+    params = {k: v for k, v in
+              {"reader": atlas.reader_params, "retriever": atlas.retriever_params}.items()
+              if v is not None}
+    params = shard_params(mesh, params)
+    atlas.reader_params = params.get("reader", atlas.reader_params)
+    atlas.retriever_params = params.get("retriever", atlas.retriever_params)
+    atlas.set_mesh(mesh)
     dim = atlas.retriever_cfg.hidden_size if atlas.retriever_cfg is not None else 768
     index, passages = load_or_initialize_index(cfg, mesh, dim=dim)
 

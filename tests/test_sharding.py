@@ -52,3 +52,51 @@ def test_param_specs_cover_whole_tree(mesh):
     sharded = shard_params(mesh, params, specs)
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
                  params, sharded)
+
+
+def test_fsdp_specs_shard_over_dp_and_match_replicated(mesh):
+    """ZeRO/FSDP over dp: same loss as replicated; moments sharded over dp."""
+    from atlas_tpu.config import AtlasConfig
+    from atlas_tpu.index.flat import DistributedIndex
+    from atlas_tpu.parallel.sharding import fsdp_param_specs
+    from atlas_tpu.train.optim import make_optimizers
+    from atlas_tpu.train.step import create_train_state, make_train_step
+
+    cfg = AtlasConfig(text_maxlength=32, target_maxlength=16, n_context=2,
+                      retriever_n_context=2, precision="fp32", train_retriever=True,
+                      total_steps=10, warmup_steps=1, lr=1e-3, lr_retriever=1e-3)
+    atlas = tiny_atlas(cfg)
+    passages = tiny_passages(16)
+    index = DistributedIndex(mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=atlas.retriever_cfg.hidden_size)
+    atlas.build_index(index, passages, embedder_batch_size=8)
+    batch, _ = atlas.make_batch(
+        index,
+        query=["question: a? answer: <extra_id_0>"] * 4,
+        target=["<extra_id_0> a"] * 4,
+        training=True,
+    )
+    params = {"reader": atlas.reader_params, "retriever": atlas.retriever_params}
+    reader_opt, retr_opt = make_optimizers(cfg)
+    step_fn = make_train_step(atlas, cfg, reader_opt, retr_opt)
+    rng = jax.random.PRNGKey(0)
+
+    losses = {}
+    for kind in ("replicated", "fsdp"):
+        specs = atlas_param_specs(params)
+        if kind == "fsdp":
+            specs = fsdp_param_specs(params, specs, mesh.shape["dp"], min_size=64)
+        p = shard_params(mesh, params, specs)
+        state = create_train_state(p, reader_opt, retr_opt)
+        if kind == "fsdp":
+            dp_sharded = [
+                l for l in jax.tree.leaves(state.opt_state)
+                if hasattr(l, "sharding") and getattr(l.sharding, "spec", None)
+                and any("dp" in (e if isinstance(e, tuple) else (e,))
+                        for e in l.sharding.spec if e is not None)
+            ]
+            assert dp_sharded, "no optimizer-state leaf sharded over dp"
+        for _ in range(2):
+            state, metrics = step_fn(state, batch, rng, True)
+        losses[kind] = float(metrics["loss/train_loss"])
+    np.testing.assert_allclose(losses["fsdp"], losses["replicated"], atol=1e-5, rtol=1e-5)
