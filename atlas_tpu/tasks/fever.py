@@ -1,25 +1,30 @@
-"""FEVER fact-verification task (reference: /root/reference/src/tasks/fever.py)."""
+"""FEVER fact-verification task.
+
+Behavioral spec: /root/reference/src/tasks/fever.py — claims become
+`question: ... answer: <extra_id_0>` queries; the three FEVER labels map to
+true/false/maybe verbalizers; accuracy scoring.
+"""
 
 from __future__ import annotations
 
 from atlas_tpu.eval.metrics import exact_match_score
-from atlas_tpu.tasks.base import BaseTask
+from atlas_tpu.tasks.base import EMPTY_PASSAGE, BaseTask
 
-_LABEL_MAP = {"NOT ENOUGH INFO": "maybe", "REFUTES": "false", "SUPPORTS": "true"}
+VERBALIZER = {"SUPPORTS": "true", "REFUTES": "false", "NOT ENOUGH INFO": "maybe"}
 
 
 class Task(BaseTask):
     metrics = ["accuracy"]
 
     def process(self, example, *args, **kwargs):
-        clean_input = example["claim"]
-        clean_target = _LABEL_MAP.get(example.get("label", ""), "")
-        example["metadata"] = example.get("metadata", {})
-        example["query"] = f"question: {clean_input} answer: <extra_id_0>"
-        example["target"] = f"<extra_id_0> {clean_target}"
-        example["passages"] = [{"title": "", "text": ""}]
-        example["metadata"]["clean_target"] = clean_target
-        example["answers"] = [clean_target]
+        verdict = VERBALIZER.get(example.get("label", ""), "")
+        example.setdefault("metadata", {})["clean_target"] = verdict
+        example.update(
+            query=f"question: {example['claim']} answer: <extra_id_0>",
+            target=f"<extra_id_0> {verdict}",
+            answers=[verdict],
+            passages=[dict(EMPTY_PASSAGE)],
+        )
         return example
 
     def evaluation(self, prediction, ground_truths):

@@ -1,4 +1,9 @@
-"""Prefix-LM task (reference: /root/reference/src/tasks/lm.py)."""
+"""Prefix-LM task: condition on a random-length text prefix, continue the rest.
+
+Behavioral spec: /root/reference/src/tasks/lm.py — whitespace-preserving split at
+a uniform random word boundary between the two context ratios, min-word
+filtering, self-passage filtering by instance id, EM/F1/ROUGE scoring.
+"""
 
 from __future__ import annotations
 
@@ -6,7 +11,7 @@ import random
 import re
 
 from atlas_tpu.eval.metrics import exact_match_score, f1_score, rouge_score
-from atlas_tpu.tasks.base import BaseTask, filter_results_by_id
+from atlas_tpu.tasks.base import EMPTY_PASSAGE, BaseTask, filter_results_by_id
 
 
 class Task(BaseTask):
@@ -14,40 +19,40 @@ class Task(BaseTask):
 
     def __init__(self, cfg, *args, **kwargs):
         self.min_words = cfg.min_words_per_lm_instance
-        self.min_context_ratio = cfg.min_lm_context_ratio
-        self.max_context_ratio = cfg.max_lm_context_ratio
+        self.ratio_bounds = (cfg.min_lm_context_ratio, cfg.max_lm_context_ratio)
 
     def filter(self, *args, **kwargs):
         return filter_results_by_id(*args, **kwargs)
 
     def process(self, example, *args, **kwargs):
-        text = example["text"]
-        if len(text.strip()) == 0:
+        text = example.get("text", "")
+        if not text.strip():
             return None
         if self.min_words is not None and len(text.split()) < self.min_words:
             return None
-        inp, out = self.split(text, self.min_context_ratio, self.max_context_ratio)
-        if "passages" not in example:
-            example["passages"] = [{"title": "", "text": ""}]
-        example["query"] = inp
-        example["target"] = out
+        context, continuation = self.split(text, *self.ratio_bounds)
+        example.setdefault("passages", [dict(EMPTY_PASSAGE)])
+        example["query"] = context
+        example["target"] = continuation
         example["metadata"] = {"id": example["id"]}
         return example
 
     @staticmethod
     def split(text, min_context_ratio, max_context_ratio):
-        """Split into (conditioning context, continuation) at a random word boundary
-        bounded by the two ratios (lm.py:49-60)."""
-        words = re.split(r"(\S+)", text)
-        min_length = int(max(2, len(words) * min_context_ratio))
-        max_length = int(max(min(len(words) - 2, len(words) * max_context_ratio), min_length + 1))
-        split_idx = random.randint(min_length, max_length)
-        return "".join(words[:split_idx]), "".join(words[split_idx:])
+        """(context, continuation) cut at a random word boundary whose position is
+        bounded by the two ratios. re.split with a capturing group keeps the
+        whitespace tokens, so context + continuation == text exactly."""
+        pieces = re.split(r"(\S+)", text)
+        n = len(pieces)
+        lo = int(max(2, n * min_context_ratio))
+        hi = int(max(min(n - 2, n * max_context_ratio), lo + 1))
+        cut = random.randint(lo, hi)
+        return "".join(pieces[:cut]), "".join(pieces[cut:])
 
     def evaluation(self, prediction, ground_truths):
-        m = {
+        r1, r2, rl = rouge_score(prediction, ground_truths)
+        return {
             "accuracy": exact_match_score(prediction, ground_truths),
             "f1": f1_score(prediction, ground_truths),
+            "rouge_1": r1, "rouge_2": r2, "rouge_L": rl,
         }
-        m["rouge_1"], m["rouge_2"], m["rouge_L"] = rouge_score(prediction, ground_truths)
-        return m

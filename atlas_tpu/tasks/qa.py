@@ -1,11 +1,16 @@
-"""Open-domain QA task (reference: /root/reference/src/tasks/qa.py)."""
+"""Open-domain QA task.
+
+Behavioral spec: /root/reference/src/tasks/qa.py — prompt format from
+`--qa_prompt_format`, `<extra_id_0>`-prefixed targets, answer sampled from the
+`answers` list when no explicit target, SQuAD-normalized EM/F1 scoring.
+"""
 
 from __future__ import annotations
 
 import random
 
 from atlas_tpu.eval.metrics import exact_match_score, f1_score, normalize_answer
-from atlas_tpu.tasks.base import BaseTask
+from atlas_tpu.tasks.base import EMPTY_PASSAGE, BaseTask
 
 
 class Task(BaseTask):
@@ -13,28 +18,23 @@ class Task(BaseTask):
 
     def __init__(self, cfg, *args, **kwargs):
         super().__init__()
-        self.qa_prompt_format_str = cfg.qa_prompt_format
+        self.prompt = cfg.qa_prompt_format
 
     def get_qa_prompt(self, question: str) -> str:
-        return self.qa_prompt_format_str.format(question=question)
+        return self.prompt.format(question=question)
 
     def process(self, example, *args, **kwargs):
-        if "target" in example:
-            target = example["target"]
-        elif "answers" in example:
-            target = random.choice(example["answers"])
-        else:
-            target = None
-        if "passages" not in example:
-            example["passages"] = [{"title": "", "text": ""}]
-        example["metadata"] = example.get("metadata", {})
-        example["query"] = self.get_qa_prompt(example["question"])
-        if target is not None:
-            example["target"] = f"<extra_id_0> {target}"
+        answer = example.get("target")
+        if answer is None and example.get("answers"):
+            answer = random.choice(example["answers"])
+        example.setdefault("passages", [dict(EMPTY_PASSAGE)])
+        example.setdefault("metadata", {})
+        example["query"] = self.prompt.format(question=example["question"])
+        if answer is not None:
+            example["target"] = f"<extra_id_0> {answer}"
         return example
 
     def evaluation(self, prediction, ground_truths):
-        return {
-            "exact_match": exact_match_score(prediction, ground_truths, normalize_answer),
-            "f1": f1_score(prediction, ground_truths, normalize_answer),
-        }
+        em = exact_match_score(prediction, ground_truths, normalize_answer)
+        f1 = f1_score(prediction, ground_truths, normalize_answer)
+        return {"exact_match": em, "f1": f1}
