@@ -33,6 +33,7 @@ from atlas_tpu.ops.attention import (
     make_attention_bias,
     make_causal_bias,
 )
+from atlas_tpu.ops.flash import flash_attention
 
 IGNORE_INDEX = -100
 
@@ -56,6 +57,9 @@ class T5Config:
     pad_token_id: int = 0
     dtype: Any = jnp.float32  # activation dtype
     remat: bool = False  # jax.checkpoint each layer block
+    # "auto": Pallas flash attention on TPU for the hot shapes, XLA fallback elsewhere;
+    # "flash": always (interpret-mode on CPU — tests only); "xla": never.
+    attn_impl: str = "auto"
 
     @property
     def inner_dim(self) -> int:
@@ -251,10 +255,35 @@ def _ffn_apply(ffn, x, cfg: T5Config, deterministic, rng):
     return h.astype(x.dtype) @ ffn["wo"]
 
 
-def _attn_apply(attn, x, kv, bias, cfg: T5Config, deterministic, rng, return_stats=False):
+def _use_flash(cfg: T5Config, lq: int, lk: int, capture: bool = False) -> bool:
+    """Flash engages on TPU when the score tensor is big enough to matter; the
+    capture path needs materialized probs (fid.py:335-341) so it always falls back."""
+    if capture:
+        return False
+    impl = getattr(cfg, "attn_impl", "auto")
+    if impl == "flash":
+        return True
+    if impl != "auto":
+        return False
+    return jax.default_backend() == "tpu" and (lq >= 128 or lk >= 1024)
+
+
+def _attn_apply(
+    attn, x, kv, bias, cfg: T5Config, deterministic, rng, return_stats=False,
+    use_flash=False, pos_bias=None, kv_mask=None, causal=False,
+):
+    """bias is the composed (broadcastable) additive bias for the XLA fallback;
+    pos_bias (H,Lq,Lk) / kv_mask (B,Lk) / causal are its decomposition for flash."""
     q = _split_heads(x @ attn["q"], cfg.num_heads)
     k = _split_heads(kv @ attn["k"], cfg.num_heads)
     v = _split_heads(kv @ attn["v"], cfg.num_heads)
+    if use_flash and not return_stats:
+        rate = 0.0 if deterministic else cfg.dropout_rate
+        out = flash_attention(
+            q, k, v, pos_bias=pos_bias, kv_mask=kv_mask, causal=causal,
+            dropout_rate=rate, dropout_rng=rng,
+        )
+        return _merge_heads(out) @ attn["o"]
     out = dot_product_attention(
         q, k, v, bias=bias, dropout_rate=cfg.dropout_rate,
         deterministic=deterministic, dropout_rng=rng, return_stats=return_stats,
@@ -293,13 +322,20 @@ def t5_encode(
         num_buckets=cfg.relative_attention_num_buckets,
         max_distance=cfg.relative_attention_max_distance,
     )
-    bias = pos_bias + make_attention_bias(attention_mask)  # (B, H, L, L)
+    use_flash = _use_flash(cfg, L, L)
+    if use_flash:
+        bias = None  # flash composes pos_bias + key mask in-kernel, never in HBM
+    else:
+        bias = pos_bias + make_attention_bias(attention_mask)  # (B, H, L, L)
 
     def layer(carry, lp):
         x, rng = carry
         rng, r1, r2, r3, r4 = jax.random.split(rng, 5)
         h = rms_norm(x, lp["ln1"], cfg.layer_norm_epsilon)
-        h = _attn_apply(lp["self_attn"], h, h, bias, cfg, deterministic, r1)
+        h = _attn_apply(
+            lp["self_attn"], h, h, bias, cfg, deterministic, r1,
+            use_flash=use_flash, pos_bias=pos_bias[0], kv_mask=attention_mask,
+        )
         x = x + _dropout(h, cfg.dropout_rate, deterministic, r2)
         h = rms_norm(x, lp["ln2"], cfg.layer_norm_epsilon)
         h = _ffn_apply(lp["ffn"], h, cfg, deterministic, r3)
@@ -342,22 +378,29 @@ def t5_decode(
     x = _dropout(x, cfg.dropout_rate, deterministic, r0)
 
     positions = jnp.arange(Lt)
-    self_bias = compute_position_bias(
+    self_pos_bias = compute_position_bias(
         params["decoder"]["rel_bias"].astype(jnp.float32),
         positions,
         positions,
         bidirectional=False,
         num_buckets=cfg.relative_attention_num_buckets,
         max_distance=cfg.relative_attention_max_distance,
-    ) + make_causal_bias(Lt)
-    cross_bias = make_attention_bias(encoder_mask)  # (B,1,1,Lk)
+    )
+    Lk = encoder_hidden.shape[1]
+    self_flash = _use_flash(cfg, Lt, Lt)
+    cross_flash = _use_flash(cfg, Lt, Lk, capture=capture_cross_attn)
+    self_bias = None if self_flash else self_pos_bias + make_causal_bias(Lt)
+    cross_bias = None if cross_flash else make_attention_bias(encoder_mask)  # (B,1,1,Lk)
     enc = encoder_hidden.astype(cfg.dtype)
 
     def layer(carry, lp):
         x, rng = carry
         rng, r1, r2, r3, r4, r5, r6 = jax.random.split(rng, 7)
         h = rms_norm(x, lp["ln1"], cfg.layer_norm_epsilon)
-        h = _attn_apply(lp["self_attn"], h, h, self_bias, cfg, deterministic, r1)
+        h = _attn_apply(
+            lp["self_attn"], h, h, self_bias, cfg, deterministic, r1,
+            use_flash=self_flash, pos_bias=self_pos_bias[0], causal=True,
+        )
         x = x + _dropout(h, cfg.dropout_rate, deterministic, r2)
         h = rms_norm(x, lp["ln2"], cfg.layer_norm_epsilon)
         if capture_cross_attn:
@@ -365,7 +408,10 @@ def t5_decode(
                 lp["cross_attn"], h, enc, cross_bias, cfg, deterministic, r3, return_stats=True
             )
         else:
-            h = _attn_apply(lp["cross_attn"], h, enc, cross_bias, cfg, deterministic, r3)
+            h = _attn_apply(
+                lp["cross_attn"], h, enc, cross_bias, cfg, deterministic, r3,
+                use_flash=cross_flash, kv_mask=encoder_mask,
+            )
             stats = None
         x = x + _dropout(h, cfg.dropout_rate, deterministic, r4)
         h = rms_norm(x, lp["ln3"], cfg.layer_norm_epsilon)

@@ -3,9 +3,9 @@
 `dot_product_attention` is the reference-semantics implementation (softmax in fp32,
 additive bias; no 1/sqrt(d) scaling — T5 absorbs it into init, BERT callers pre-scale
 the queries). On TPU the encoder/decoder hot paths swap in the Pallas flash-attention
-kernel from `atlas_tpu.ops.flash` when shapes allow; this module is the always-correct
-fallback and the capture path (FiD cross-attention score capture needs the materialized
-probabilities: /root/reference/src/fid.py:335-341).
+kernel from `atlas_tpu.ops.flash` (see models/t5.py:_use_flash for the dispatch); this
+module is the always-correct fallback and the capture path (FiD cross-attention score
+capture needs the materialized probabilities: /root/reference/src/fid.py:335-341).
 """
 
 from __future__ import annotations
