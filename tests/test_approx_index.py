@@ -107,3 +107,38 @@ def test_approx_save_load(mesh, tmp_path):
     _, g1 = index.device_search(jnp.asarray(embs[:4]), 5)
     _, g2 = index2.device_search(jnp.asarray(embs[:4]), 5)
     assert np.array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def test_pq_adc_kernel_matches_decode_matmul():
+    """ops.pq_adc fused kernel == decode-and-matmul scores (exact same math)."""
+    from atlas_tpu.ops.pq_adc import pq_adc_scores
+
+    rng = np.random.RandomState(4)
+    d, M, n, B = 64, 8, 700, 5
+    data = rng.randn(4096, d).astype(np.float32)
+    cb = Q.pq_train(jax.random.PRNGKey(0), jnp.asarray(data), M)
+    codes = Q.pq_encode(cb, jnp.asarray(data[:n]))
+    q = jnp.asarray(rng.randn(B, d).astype(np.float32))
+    rec = Q.pq_decode(cb, codes).astype(jnp.bfloat16)
+    want = jax.lax.dot_general(q.astype(jnp.bfloat16), rec, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    got = pq_adc_scores(q, cb, codes, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
+def test_approx_search_pq_pallas_adc(mesh):
+    """Full index search through the Pallas ADC scorer (interpret mode on CPU):
+    same top-k ids as the XLA decode-and-matmul scorer. Tiny corpus — interpret
+    kernels on the 1-core CI box are slow."""
+    embs, passages = _corpus(n=300, seed=5)
+    index = DistributedApproxIndex("pq", 8, mesh=mesh, dtype=jnp.float32)
+    index.adc_impl = "pallas"
+    index.init_embeddings(passages, dim=32)
+    index.write_embeddings_rows(0, jnp.asarray(embs))
+    index.train_index()
+    q = jnp.asarray(embs[:4])
+    _, g1 = index.device_search(q, 5)
+    index.adc_impl = "xla"
+    index._search_fn = None
+    _, g2 = index.device_search(q, 5)
+    assert np.array_equal(np.asarray(g1), np.asarray(g2))
