@@ -156,6 +156,13 @@ class AtlasConfig:
     # jax.profiler trace capture: "start-end" step range (e.g. "10-12"), "" = off.
     # Traces land in {checkpoint_dir}/{name}/traces.
     profile_steps: str = ""
+    # Attention implementation: "auto" = Pallas flash kernels on TPU for the hot
+    # shapes (ops/flash.py), XLA fallback elsewhere; "flash" = force; "xla" = never.
+    attn_impl: str = "auto"
+    # Checkpoint serialization: "npz" = single rank-0 npz per step dir (reference
+    # parity, model_io.py:200-244); "orbax" = sharded tensorstore writes from every
+    # process — required for models larger than host RAM.
+    checkpoint_format: str = "npz"
 
     # --- runtime-derived fields (populated by the runtime, not flags) ---
     is_main: bool = True
@@ -191,6 +198,8 @@ class AtlasConfig:
         "faiss_index_type": FAISS_INDEX_TYPES,
         "multiple_choice_train_permutations": PERMUTATION_TYPES,
         "multiple_choice_eval_permutations": PERMUTATION_TYPES,
+        "attn_impl": ["auto", "flash", "xla"],
+        "checkpoint_format": ["npz", "orbax"],
     }
     _RUNTIME_FIELDS = {"is_main", "is_distributed", "global_rank", "world_size"}
 
@@ -205,7 +214,10 @@ class AtlasConfig:
             if f.default_factory is not dataclasses.MISSING:  # type: ignore[misc]
                 default = f.default_factory()  # type: ignore[misc]
             if f.type in ("bool", bool):
-                parser.add_argument(flag, action="store_true", default=bool(default))
+                # BooleanOptionalAction adds --flag / --no-flag, so a future field
+                # defaulting True stays disableable from the CLI
+                parser.add_argument(flag, action=argparse.BooleanOptionalAction,
+                                    default=bool(default))
             elif f.type in ("List[str]", List[str]):
                 parser.add_argument(flag, nargs="+", default=default)
             elif f.type in ("Optional[int]",):

@@ -52,8 +52,8 @@ def create_checkpoint_directories(cfg: AtlasConfig):
 # ------------------------------------------------------------- tree <-> flat dict
 
 
-def tree_to_flat(tree, prefix="") -> Dict[str, np.ndarray]:
-    state = serialization.to_state_dict(tree)
+def _flatten_state(state, prefix="") -> Dict[str, np.ndarray]:
+    """Nested state dict -> flat {slash/path: np.ndarray} with None/{} markers."""
     out: Dict[str, np.ndarray] = {}
 
     def rec(node, path):
@@ -70,6 +70,10 @@ def tree_to_flat(tree, prefix="") -> Dict[str, np.ndarray]:
 
     rec(state, prefix)
     return out
+
+
+def tree_to_flat(tree, prefix="") -> Dict[str, np.ndarray]:
+    return _flatten_state(serialization.to_state_dict(tree), prefix)
 
 
 def flat_to_tree(flat: Dict[str, np.ndarray], target):
@@ -105,6 +109,7 @@ def load_reader(cfg: AtlasConfig) -> Tuple[Optional[T5Config], Optional[Dict], A
         dropout_rate=cfg.dropout,
         dtype=dtype,
         remat=cfg.use_gradient_checkpoint_reader,
+        attn_impl=cfg.attn_impl,
     )
     if cfg.tiny_model:
         import dataclasses
@@ -215,15 +220,61 @@ def _symlink_force(target, link_name):
             raise
 
 
+def _tree_to_flat_arrays(tree, prefix="") -> Dict[str, Any]:
+    """Like tree_to_flat but keeps (possibly sharded) device arrays in place."""
+    state = serialization.to_state_dict(tree)
+    out: Dict[str, Any] = {}
+
+    def rec(node, path):
+        if isinstance(node, dict):
+            if not node:
+                out[path + "/__empty__"] = np.zeros(1)  # orbax rejects 0-size arrays
+                return
+            for k, v in node.items():
+                rec(v, f"{path}/{k}" if path else str(k))
+        elif node is None:
+            out[path + "/__none__"] = np.zeros(1)
+        else:
+            out[path] = node
+
+    rec(state, prefix)
+    return out
+
+
 def save_atlas_model(atlas: Atlas, opt_state, step: int, cfg: AtlasConfig,
                      dir_path, name: str) -> None:
-    """Write step dir + flip `latest` (model_io.py:200-244). Rank 0 only."""
-    if not cfg.is_main:
-        return
+    """Write step dir + flip `latest` (model_io.py:200-244).
+
+    npz format: rank 0 gathers the full tree to host (reference parity — caps model
+    size at host RAM). orbax format: EVERY process participates; sharded jax arrays
+    stream to tensorstore without ever assembling the full tree on one host, which
+    is what makes the xl/xxl readers checkpointable (SURVEY §5.4 scale caveat).
+    """
     path = os.path.join(str(dir_path), "checkpoint")
     epoch_path = os.path.join(path, name)
-    os.makedirs(epoch_path, exist_ok=True)
+    if cfg.checkpoint_format == "orbax":
+        import orbax.checkpoint as ocp
 
+        os.makedirs(epoch_path, exist_ok=True)
+        flat = _tree_to_flat_arrays(
+            {"reader": atlas.reader_params, "retriever": atlas.retriever_params}, "model"
+        )
+        if cfg.save_optimizer and opt_state is not None:
+            flat.update(_tree_to_flat_arrays(opt_state, "optimizer"))
+        # "." keys: orbax maps tree keys to directory entries, "/" would nest
+        flat = {k.replace("/", "."): v for k, v in flat.items()}
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(os.path.join(epoch_path, "state.orbax")), flat, force=True
+        )
+        if cfg.is_main:
+            with open(os.path.join(epoch_path, "meta.json"), "w") as f:
+                json.dump({"step": step, "cfg": asdict(cfg)}, f)
+            _symlink_force(epoch_path, os.path.join(path, "latest"))
+        return
+
+    if not cfg.is_main:
+        return
+    os.makedirs(epoch_path, exist_ok=True)
     flat = tree_to_flat({"reader": atlas.reader_params, "retriever": atlas.retriever_params}, "model")
     if cfg.save_optimizer and opt_state is not None:
         flat.update(tree_to_flat(opt_state, "optimizer"))
@@ -240,7 +291,16 @@ def load_atlas_model(dir_path: str, cfg: AtlasConfig, reset_params=False, eval_o
     known = {k: v for k, v in meta["cfg"].items() if k in AtlasConfig.__dataclass_fields__}
     cfg_checkpoint = AtlasConfig(**known)
     step = meta["step"]
-    data = dict(np.load(os.path.join(epoch_path, "state.npz"), allow_pickle=False))
+    npz_path = os.path.join(epoch_path, "state.npz")
+    if os.path.exists(npz_path):
+        data = dict(np.load(npz_path, allow_pickle=False))
+    else:  # orbax step dir (format auto-detected so npz runs can resume orbax ones)
+        import orbax.checkpoint as ocp
+
+        raw = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(os.path.join(epoch_path, "state.orbax"))
+        )
+        data = {k.replace(".", "/"): np.asarray(v) for k, v in raw.items()}
 
     reader_cfg, reader_params, reader_tok = load_reader(cfg)
     retr_cfg, retr_params, retr_tok = load_retriever(cfg, cfg_checkpoint)

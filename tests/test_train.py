@@ -196,3 +196,42 @@ def test_scheduled_refresh_updates_index(setup, tmp_path):
     emb_after = np.asarray(jax.device_get(index.embeddings[:8]))
     # retriever moved (big lr) and the step-4 refresh re-embedded with new params
     assert not np.allclose(emb_before, emb_after, atol=1e-5)
+
+
+def test_orbax_checkpoint_roundtrip(setup, tmp_path):
+    """--checkpoint_format orbax: sharded tensorstore step dirs with the same
+    latest-symlink/resume semantics and exact optimizer-moment roundtrip as npz."""
+    import dataclasses
+
+    from atlas_tpu.model_io import flat_to_tree, load_or_initialize_atlas_model, save_atlas_model
+
+    atlas, index, cfg0 = setup
+    cfg = dataclasses.replace(cfg0, checkpoint_dir=str(tmp_path), name="orbx",
+                              save_optimizer=True, checkpoint_format="orbax")
+    reader_opt, retr_opt = make_optimizers(cfg)
+    params = {"reader": atlas.reader_params, "retriever": atlas.retriever_params}
+    state = create_train_state(params, reader_opt, retr_opt)
+    step_fn = make_train_step(atlas, cfg, reader_opt, retr_opt)
+    batch = _batch(atlas, index)
+    for _ in range(2):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(0), True)
+
+    atlas.reader_params = state.params["reader"]
+    atlas.retriever_params = state.params["retriever"]
+    save_atlas_model(atlas, state.opt_state, step=2, cfg=cfg,
+                     dir_path=tmp_path / "orbx", name="step-2")
+    latest = tmp_path / "orbx" / "checkpoint" / "latest"
+    assert latest.exists() and (latest / "state.orbax").exists()
+
+    atlas2, opt_raw, step2 = load_or_initialize_atlas_model(cfg)
+    assert step2 == 2 and opt_raw is not None
+    np.testing.assert_allclose(
+        np.asarray(atlas2.reader_params["shared"]),
+        np.asarray(atlas.reader_params["shared"]), atol=0, rtol=0,
+    )
+    params2 = {"reader": atlas2.reader_params, "retriever": atlas2.retriever_params}
+    state2 = create_train_state(params2, reader_opt, retr_opt)
+    restored = flat_to_tree(opt_raw, state2.opt_state)
+    for w, g in zip(jax.tree.leaves(state.opt_state["reader"]),
+                    jax.tree.leaves(restored["reader"])):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=0, rtol=0)
