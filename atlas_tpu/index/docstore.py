@@ -61,7 +61,19 @@ class DocStore:
         """All-to-all host-side doc exchange over the process side channel."""
         from jax.experimental import multihost_utils
 
-        local = self.lookup_local(sorted(needed))
+        # Round 1: union the needed-id sets. A process only knows its OWN result
+        # ids; the ids it must SERVE belong to other processes' queries (a rank
+        # with zero queries still owns docs that everyone else needs).
+        ids = np.fromiter(sorted(needed), dtype=np.int64, count=len(needed))
+        id_sizes = multihost_utils.process_allgather(np.array([ids.size], dtype=np.int64))
+        m = max(int(id_sizes.max()), 1)
+        padded_ids = np.full((m,), -1, dtype=np.int64)
+        padded_ids[: ids.size] = ids
+        all_ids = multihost_utils.process_allgather(padded_ids)  # (P, m)
+        union = {int(g) for g in all_ids.reshape(-1) if g >= 0}
+
+        # Round 2: each process serves the union rows it owns.
+        local = self.lookup_local(sorted(union))
         payload = pickle.dumps(local, protocol=pickle.HIGHEST_PROTOCOL)
         buf = np.frombuffer(payload, dtype=np.uint8)
         # pad to a common max length, exchange sizes first
