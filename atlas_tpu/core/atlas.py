@@ -282,16 +282,33 @@ class Atlas:
 
     # ------------------------------------------------------------------- forward
 
-    def make_batch(self, index, query, target, target_tokens=None, passages=None,
-                   batch_metadata=None, filtering_fun=None, training=False, iter_stats={}):
-        """Host half of forward (atlas.py:399-444): tokenize + retrieve + tokenize
-        passages. Returns the device-ready array batch."""
+    def pretokenize(self, query, target, target_tokens=None):
+        """The retrieval-INDEPENDENT host half of make_batch: query/target
+        tokenization. Depends only on raw text + tokenizers (no params, no index),
+        so the train loop runs it on a worker thread for the NEXT batch while the
+        device executes the current step — the reference tokenizes synchronously
+        inside every step (atlas.py:428-444), a known host stall SURVEY §7 says
+        not to replicate. Passage tokenization cannot be prefetched: it needs the
+        retrieval results from the CURRENT retriever params."""
         cfg = self.cfg
         query_mask_reader = self.reader_tokenizer(
             list(query), max_length=cfg.text_maxlength, padding="max_length",
             truncation=True, return_tensors="np", add_special_tokens=False,
         )["attention_mask"]
         query_enc, labels, decoder_input_ids = self.tokenize(query, target, target_tokens)
+        return {"query_mask_reader": query_mask_reader, "query_enc": query_enc,
+                "labels": labels, "decoder_input_ids": decoder_input_ids}
+
+    def make_batch(self, index, query, target, target_tokens=None, passages=None,
+                   batch_metadata=None, filtering_fun=None, training=False, iter_stats={},
+                   pretokenized=None):
+        """Host half of forward (atlas.py:399-444): tokenize + retrieve + tokenize
+        passages. Returns the device-ready array batch."""
+        cfg = self.cfg
+        pre = pretokenized or self.pretokenize(query, target, target_tokens)
+        query_mask_reader = pre["query_mask_reader"]
+        query_enc, labels, decoder_input_ids = (
+            pre["query_enc"], pre["labels"], pre["decoder_input_ids"])
         if not cfg.use_file_passages:
             retrieve_start = time.time()
             passages, _ = self.retrieve(

@@ -34,6 +34,35 @@ from atlas_tpu.utils.stats import WeightedAvgStats
 logger = logging.getLogger(__name__)
 
 
+def _prefetch_pretokenized(batches, atlas, enabled: bool = True):
+    """Yield (batch, pretokenized) with the NEXT batch's query/target tokenization
+    running on a worker thread while the caller's device step executes (SURVEY §7:
+    the reference stalls the step on synchronous tokenization, atlas.py:428-444).
+    Retrieval and passage tokenization stay synchronous — they need the step's
+    updated retriever params for parity."""
+    if not enabled:
+        for b in batches:
+            yield b, None
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="pretok")
+    pending = None  # (batch, future)
+    try:
+        for b in batches:
+            fut = ex.submit(atlas.pretokenize, b["query"], b["target"],
+                            b.get("target_tokens"))
+            if pending is not None:
+                pb, pf = pending
+                yield pb, pf.result()
+            pending = (b, fut)
+        if pending is not None:
+            pb, pf = pending
+            yield pb, pf.result()
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
+
+
 def _peak_memory_gib() -> float:
     """Peak device HBM use (GiB); 0 where the backend exposes no memory stats."""
     try:
@@ -116,7 +145,9 @@ def train(
         data_iterator = task.batch_iterator(
             data_iterator, local_bsz, drop_last=True, shuffle=cfg.shuffle
         )
-        for batch in data_iterator:
+        for batch, pretok in _prefetch_pretokenized(
+            data_iterator, atlas, enabled=cfg.host_prefetch
+        ):
             iter_stats = {}
             if not cfg.use_file_passages and index_refresh_scheduler.is_time_to_refresh(step):
                 if not (step == 0 and cfg.load_index_path is not None):
@@ -146,6 +177,7 @@ def train(
                 filtering_fun=task.filter,
                 training=True,
                 iter_stats=iter_stats,
+                pretokenized=pretok,
             )
             if not batch_placement_checked:
                 shd = device_batch["reader_ids"].sharding
