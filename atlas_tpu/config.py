@@ -137,6 +137,10 @@ class AtlasConfig:
     index_mode: str = "flat"
     faiss_index_type: str = "flat"
     faiss_code_size: Optional[int] = None
+    # IVF probe count: 0 = reference default (nprobe = nlist = ⌊√N⌋, index.py:212).
+    # A smaller value engages the sparse posting-list kernel (ops/ivf_sparse.py),
+    # whose cost scales with nprobe instead of the corpus size.
+    ivf_nprobe: int = 0
 
     # --- TPU-native additions (no reference equivalent) ---
     # Device mesh: data-parallel axis x model-parallel axis. dp_size=-1 means
@@ -159,6 +163,9 @@ class AtlasConfig:
     # Attention implementation: "auto" = Pallas flash kernels on TPU for the hot
     # shapes (ops/flash.py), XLA fallback elsewhere; "flash" = force; "xla" = never.
     attn_impl: str = "auto"
+    # Overlap next-batch query/target tokenization with the device step
+    # (train/loop.py:_prefetch_pretokenized). --no-host_prefetch disables.
+    host_prefetch: bool = True
     # Checkpoint serialization: "npz" = single rank-0 npz per step dir (reference
     # parity, model_io.py:200-244); "orbax" = sharded tensorstore writes from every
     # process — required for models larger than host RAM.

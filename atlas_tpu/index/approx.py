@@ -39,7 +39,7 @@ TRAIN_SAMPLE = 65536
 
 class DistributedApproxIndex(DistributedIndex):
     def __init__(self, index_type: str = "flat", code_size: Optional[int] = None,
-                 mesh=None, dtype=jnp.bfloat16):
+                 mesh=None, dtype=jnp.bfloat16, nprobe: int = 0):
         super().__init__(mesh=mesh, dtype=dtype)
         assert index_type in ("flat", "pq", "ivfflat", "ivfpq", "ivfsq", "sq8"), index_type
         self.index_type = index_type
@@ -48,9 +48,15 @@ class DistributedApproxIndex(DistributedIndex):
         # codes feed the MXU directly (see _build_search)
         self.sq_bits = 8 if index_type == "sq8" else 4
         self.adc_impl = "auto"  # "auto" | "pallas" (ops.pq_adc kernel) | "xla"
+        # IVF probing: 0 = reference default nprobe = nlist = floor(sqrt(N))
+        # (index.py:212), where the masked scan costs the same as faiss's full
+        # sweep. A smaller explicit nprobe engages the sparse posting-list path.
+        self.nprobe_value = nprobe
+        self.ivf_impl = "auto"  # "auto" | "sparse" (ops.ivf_sparse) | "masked"
         # approx search closes over quantizer state, so it is cached per-object and
         # invalidated on (re)train — unlike the flat index's shape-keyed cache
         self._search_fn = None
+        self._ivf_layout: Optional[Dict[str, Any]] = None  # cluster-sorted blocks
         self.quant: Dict[str, Any] = {}  # replicated quantizer state
         self.codes: Optional[jax.Array] = None  # sharded (N_pad, M) uint8
         self.cluster_of: Optional[jax.Array] = None  # sharded (N_pad,) int32
@@ -76,7 +82,22 @@ class DistributedApproxIndex(DistributedIndex):
         return max(1, math.floor(math.sqrt(self.n_total)))  # index.py:269
 
     def nprobe(self) -> int:
+        if self.nprobe_value > 0:
+            return min(self.nprobe_value, self._nlist())
         return max(1, math.floor(math.sqrt(self.n_total)))  # index.py:212
+
+    def _sparse_engaged(self) -> bool:
+        """Sparse posting-list probing pays off when nprobe is a small fraction of
+        nlist (cost ∝ B·nprobe·cluster vs one full-shard stream for the masked
+        scan). PQ keeps the masked scan (its ADC kernel needs the full code
+        stream layout)."""
+        if not self.uses_ivf or self.uses_pq:
+            return False
+        if self.ivf_impl == "sparse":
+            return True
+        if self.ivf_impl != "auto":
+            return False
+        return self.nprobe() * 4 <= self._nlist()
 
     def _train_sample(self) -> jnp.ndarray:
         """Sample valid rows only: padding sits at each process-block TAIL (flat.py
@@ -109,6 +130,7 @@ class DistributedApproxIndex(DistributedIndex):
         self.quant = quant
         self._encode_all()
         self._search_fn = None
+        self._ivf_layout = None
 
     def _encode_all(self) -> None:
         """Row-parallel encode of the sharded embedding matrix into sharded codes."""
@@ -131,6 +153,137 @@ class DistributedApproxIndex(DistributedIndex):
                 return jnp.argmax(s, axis=1).astype(jnp.int32)
 
             self.cluster_of = jax.jit(assign, out_shardings=row_sharding)(self.embeddings)
+
+    # ------------------------------------------------------- sparse IVF layout
+
+    def _build_ivf_layout(self) -> None:
+        """Cluster-sorted, block-padded row layout for sparse probing.
+
+        Per device shard: rows sorted by coarse cluster, each cluster padded to a
+        multiple of R=128 rows so no block straddles clusters (the contract of
+        ops/ivf_sparse.py). Two passes because SPMD shapes must be static: pass 1
+        measures the padded block count (max over devices), pass 2 scatters.
+        """
+        from atlas_tpu.ops.ivf_sparse import R
+
+        nlist = self._nlist()
+        mesh = self.mesh
+        x_src = self.codes if self.uses_sq else self.embeddings
+        x_dtype = x_src.dtype
+        S = self.n_pad // self.n_devices  # rows per shard
+        D = x_src.shape[1]
+        rowP = P(("dp", "mp"))
+
+        def _cl_counts(cluster_shard):
+            dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
+            n_valid = self._shard_valid_rows(dev)
+            valid = jnp.arange(S) < n_valid
+            cl = jnp.where(valid, cluster_shard, nlist)  # padding -> sentinel bucket
+            counts = jax.ops.segment_sum(
+                jnp.ones((S,), jnp.int32), cl, num_segments=nlist + 1
+            )[:nlist]
+            return cl, counts
+
+        def measure(cluster_shard):
+            _, counts = _cl_counts(cluster_shard)
+            nb = -(-counts // R)
+            nb_total = jnp.sum(nb)
+            return (jax.lax.pmax(nb_total, ("dp", "mp")),
+                    jax.lax.pmax(jnp.max(nb), ("dp", "mp")))
+
+        nb_total, maxb = jax.jit(jax.shard_map(
+            measure, mesh=mesh, in_specs=(rowP,), out_specs=(P(), P()),
+            check_vma=False,
+        ))(self.cluster_of)
+        NB, maxb = max(int(nb_total), 1), max(int(maxb), 1)
+
+        def build(x_shard, cluster_shard):
+            cl, counts = _cl_counts(cluster_shard)
+            nb = -(-counts // R)  # (nlist,) blocks per cluster
+            bstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                      jnp.cumsum(nb)[:-1].astype(jnp.int32)])
+            row0 = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                    jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+            order = jnp.argsort(cl, stable=True)  # padding rows sort last
+            cl_s = cl[order]
+            in_range = cl_s < nlist
+            rank = jnp.arange(S, dtype=jnp.int32) - jnp.where(in_range, row0[jnp.minimum(cl_s, nlist - 1)], 0)
+            pos = jnp.where(in_range, R * bstart[jnp.minimum(cl_s, nlist - 1)] + rank, NB * R)
+            x_sorted = jnp.zeros((NB * R, D), x_dtype).at[pos].set(x_shard[order], mode="drop")
+            rowvalid = jnp.zeros((NB * R,), jnp.bool_).at[pos].set(True, mode="drop")
+            gid = jnp.zeros((NB * R,), jnp.int32).at[pos].set(order.astype(jnp.int32), mode="drop")
+            return x_sorted.reshape(NB, R, D), rowvalid, gid, bstart, nb.astype(jnp.int32)
+
+        x_b, rv, gid, bstart, nb = jax.jit(jax.shard_map(
+            build, mesh=mesh, in_specs=(rowP, rowP),
+            out_specs=(rowP, rowP, rowP, rowP, rowP), check_vma=False,
+        ))(x_src, self.cluster_of)
+        self._ivf_layout = {"R": R, "NB": NB, "maxb": maxb, "nlist": nlist,
+                            "x": x_b, "rowvalid": rv, "gid": gid,
+                            "bstart": bstart, "nb": nb}
+
+    def _build_search_sparse(self, topk: int):
+        """Sparse-probing search: per query, only the probed clusters' blocks are
+        DMA'd and scored (ops/ivf_sparse.py). Same exact list semantics as the
+        masked scan — identical results at equal nprobe."""
+        from atlas_tpu.ops.ivf_sparse import ivf_sparse_scores
+
+        lay = self._ivf_layout
+        R, NB, maxb, nlist = lay["R"], lay["NB"], lay["maxb"], lay["nlist"]
+        mesh, n_pad, n_dev = self.mesh, self.n_pad, self.n_devices
+        shard_rows = n_pad // n_dev
+        nprobe = min(self.nprobe(), nlist)
+        L = nprobe * maxb
+        quant, dtype = self.quant, self.dtype
+        uses_sq = self.uses_sq
+        cents = quant["centroids"]
+        k_local = min(topk, shard_rows)
+        interp = jax.default_backend() != "tpu"
+
+        def local_search(queries, x_b, rowvalid, gid, bstart, nb):
+            dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
+            B = queries.shape[0]
+            qf = queries.astype(jnp.float32)
+            cscores = qf @ cents.T - 0.5 * jnp.sum(cents * cents, axis=1)[None]
+            _, cs = jax.lax.top_k(cscores, nprobe)  # (B, nprobe)
+
+            blocks = bstart[cs][:, :, None] + jnp.arange(maxb, dtype=jnp.int32)
+            lvalid = jnp.arange(maxb)[None, None, :] < nb[cs][:, :, None]
+            ids = jnp.where(lvalid, blocks, 0).reshape(B, L)
+
+            if uses_sq:
+                q_eff = (qf * quant["sq_scale"]).astype(dtype)
+                const = qf @ (quant["sq_vmin"] + 0.5 * quant["sq_scale"])  # (B,)
+            else:
+                q_eff = queries.astype(dtype)
+                const = jnp.zeros((B,), jnp.float32)
+            s = ivf_sparse_scores(q_eff, x_b, ids, interpret=interp)  # (B, L, R)
+            # mask list-padding entries and in-block padding rows
+            rmask = jnp.where(rowvalid.reshape(NB, R)[ids], 0.0, NEG)  # (B, L, R)
+            s = s + rmask + jnp.where(lvalid.reshape(B, L, 1), 0.0, NEG)
+            s = s.reshape(B, L * R)
+            kk = min(k_local, L * R)
+            vals, pos = jax.lax.top_k(s, kk)
+            srow = jnp.take_along_axis(ids, pos // R, axis=1) * R + pos % R
+            lrow = gid[srow]  # (B, kk) local row within the shard
+            gids = (dev * shard_rows + lrow).astype(jnp.int32)
+            vals = vals + const[:, None]
+
+            vals_all = jax.lax.all_gather(vals, ("dp", "mp"))
+            gidx_all = jax.lax.all_gather(gids, ("dp", "mp"))
+            vals_all = vals_all.transpose(1, 0, 2).reshape(B, n_dev * kk)
+            gidx_all = gidx_all.transpose(1, 0, 2).reshape(B, n_dev * kk)
+            mvals, mpos = jax.lax.top_k(vals_all, topk)
+            mgids = jnp.take_along_axis(gidx_all, mpos, axis=1)
+            return mvals, mgids
+
+        rowP = P(("dp", "mp"))
+        shmapped = jax.shard_map(
+            local_search, mesh=mesh,
+            in_specs=(P(), rowP, rowP, rowP, rowP, rowP),
+            out_specs=(P(), P()), check_vma=False,
+        )
+        return jax.jit(shmapped)
 
     # -------------------------------------------------------------------- search
 
@@ -262,6 +415,14 @@ class DistributedApproxIndex(DistributedIndex):
         if self.index_type == "flat":
             return super().device_search(queries, topk)
         assert self.is_index_trained(), "The index has not been trained."
+        if self._sparse_engaged():
+            if self._ivf_layout is None:
+                self._build_ivf_layout()
+                self._sparse_fn = functools.cache(self._build_search_sparse)
+            lay = self._ivf_layout
+            return self._sparse_fn(topk)(
+                queries, lay["x"], lay["rowvalid"], lay["gid"], lay["bstart"], lay["nb"]
+            )
         if self._search_fn is None:
             self._search_fn = functools.cache(self._build_search)
         return self._search_fn(topk)(queries, self.embeddings, self.codes, self.cluster_of)
@@ -286,5 +447,6 @@ class DistributedApproxIndex(DistributedIndex):
             self.quant = {k: jnp.asarray(data[k]) for k in data.files}
             self._encode_all()
             self._search_fn = None  # new quant state -> stale closures
+            self._ivf_layout = None
         else:
             self.train_index()

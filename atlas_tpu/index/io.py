@@ -59,7 +59,8 @@ def load_or_initialize_index(cfg, mesh=None, dim: int = 768):
         from atlas_tpu.index.approx import DistributedApproxIndex
 
         index = DistributedApproxIndex(
-            cfg.faiss_index_type, cfg.faiss_code_size, mesh=mesh
+            cfg.faiss_index_type, cfg.faiss_code_size, mesh=mesh,
+            nprobe=getattr(cfg, "ivf_nprobe", 0),
         )
     else:
         raise ValueError(f"unsupported index mode {cfg.index_mode}")

@@ -142,3 +142,53 @@ def test_approx_search_pq_pallas_adc(mesh):
     index._search_fn = None
     _, g2 = index.device_search(q, 5)
     assert np.array_equal(np.asarray(g1), np.asarray(g2))
+
+
+def _clustered_corpus(n=1600, dim=32, n_clusters=40, seed=7):
+    """Blob data so IVF coarse clusters are meaningful and nprobe<nlist recalls well."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim) * 4
+    embs = (centers[rng.randint(0, n_clusters, n)] + 0.3 * rng.randn(n, dim)).astype(np.float32)
+    # unit-normalize so MIPS == cosine: cluster locality then implies retrieval
+    # locality (unnormalized blobs let a large-norm vector in an unprobed cluster
+    # be the true MIPS neighbor, which no IVF probe setting could find)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    passages = [{"id": str(i), "title": f"t{i}", "text": f"p {i}"} for i in range(n)]
+    return embs, passages
+
+
+@pytest.mark.parametrize("index_type", ["ivfflat", "ivfsq"])
+def test_ivf_sparse_matches_masked(mesh, index_type):
+    """Sparse posting-list probing (ops.ivf_sparse, interpret mode on CPU) returns
+    the same results as the masked scan at equal nprobe — identical list
+    semantics, only the cost model differs."""
+    embs, passages = _clustered_corpus()
+    index = DistributedApproxIndex(index_type, mesh=mesh, dtype=jnp.float32, nprobe=4)
+    index.init_embeddings(passages, dim=32)
+    index.write_embeddings_rows(0, jnp.asarray(embs))
+    index.train_index()
+    assert index._sparse_engaged(), (index.nprobe(), index._nlist())
+    q = jnp.asarray(embs[:6])
+    s1, g1 = index.device_search(q, 8)
+    assert index._ivf_layout is not None
+
+    index.ivf_impl = "masked"
+    assert not index._sparse_engaged()
+    s2, g2 = index.device_search(q, 8)
+    assert np.array_equal(np.asarray(g1), np.asarray(g2)), (np.asarray(g1), np.asarray(g2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
+
+
+def test_ivf_sparse_recall_and_docs(mesh):
+    """End-to-end search_knn through the sparse path: nprobe=8 of nlist=40 still
+    finds the true neighbors on clustered data (self-query -> self top-1)."""
+    embs, passages = _clustered_corpus(n=1200, seed=8)
+    index = DistributedApproxIndex("ivfflat", mesh=mesh, dtype=jnp.float32, nprobe=8)
+    index.init_embeddings(passages, dim=32)
+    index.write_embeddings_rows(0, jnp.asarray(embs))
+    index.train_index()
+    assert index._sparse_engaged()
+    docs, scores = index.search_knn(jnp.asarray(embs[:5]), 3)
+    assert [d[0]["id"] for d in docs] == [str(i) for i in range(5)]
+    rec = _recall(index, embs, topk=10, nq=16)
+    assert rec >= 0.9, rec

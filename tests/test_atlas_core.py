@@ -151,3 +151,31 @@ def test_emdr_logprob_matches_reference_formula():
 
     got = emdr_logprob(jnp.asarray(score), jnp.asarray(gold_logits), jnp.asarray(labels), ts, tg)
     np.testing.assert_allclose(float(got), float(want), atol=1e-5, rtol=1e-4)
+
+
+def test_prefetch_pretokenized_equivalence(setup):
+    """The worker-thread pretokenize path produces the exact same device batch as
+    the synchronous path (train/loop.py overlap, SURVEY §7 host-stall note)."""
+    from atlas_tpu.train.loop import _prefetch_pretokenized
+
+    atlas, index, passages = setup
+    batches = [
+        {"query": [f"question: q{i} answer: <extra_id_0>"], "target": [f"<extra_id_0> a{i}"]}
+        for i in range(3)
+    ]
+    seen = []
+    for batch, pretok in _prefetch_pretokenized(iter(batches), atlas, enabled=True):
+        assert pretok is not None
+        sync = atlas.pretokenize(batch["query"], batch["target"])
+        for k in sync:
+            if isinstance(sync[k], dict):
+                for kk in sync[k]:
+                    np.testing.assert_array_equal(pretok[k][kk], sync[k][kk])
+            else:
+                np.testing.assert_array_equal(pretok[k], sync[k])
+        b1, _ = atlas.make_batch(index, batch["query"], batch["target"], pretokenized=pretok)
+        b2, _ = atlas.make_batch(index, batch["query"], batch["target"])
+        for k in b2:
+            np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
+        seen.append(batch["query"][0])
+    assert seen == [b["query"][0] for b in batches]  # order preserved
