@@ -126,8 +126,11 @@ def beam_generate(
 
     def cond(state):
         t, alive_logp, fin_scores, fin_flags, *_ = state
-        # worst finished vs best achievable alive score (len so far, HF early_stopping=False)
-        best_alive = alive_logp.max(axis=1) / (max_length**length_penalty if length_penalty > 0 else 1.0)
+        # HF early_stopping=False heuristic (BeamHypotheses.is_done): the bound
+        # divides by the CURRENT length for every penalty sign — deliberately
+        # inexact for length_penalty > 0 (can stop before a longer hypothesis
+        # would win) but it is what generate() ships, so parity keeps it
+        best_alive = alive_logp.max(axis=1) / (t + 1).astype(jnp.float32) ** length_penalty
         worst_fin = jnp.where(fin_flags, fin_scores, NEG).min(axis=1)
         all_done = jnp.all(fin_flags, axis=1) & (worst_fin >= best_alive)
         return (t < max_length - 1) & ~jnp.all(all_done)
@@ -156,13 +159,18 @@ def beam_generate(
         # masked-out candidates (min_length / forced prefix) carry ~NEG scores and
         # must never enter the finished pool
         is_eos = (tok_idx == 1) & (top_vals > NEG / 2)
+        # HF SKIPS an eos candidate ranked outside the top num_beams
+        # ("is_beam_token_worse_than_top_num_beams" in BeamSearchScorer.process):
+        # it neither enters the finished pool nor survives as alive; replicate
+        # both or the pools diverge from generate()
+        finishes = is_eos & (jnp.arange(2 * K) < K)[None, :]
 
         # finished candidates: apply length penalty over generated length (t+1 tokens)
         hyp_len = (t + 1).astype(jnp.float32)
-        fin_cand_scores = jnp.where(is_eos, top_vals / hyp_len**length_penalty, NEG)
+        fin_cand_scores = jnp.where(finishes, top_vals / hyp_len**length_penalty, NEG)
         all_fin_scores = jnp.concatenate([fin_scores, fin_cand_scores], axis=1)  # (B, 3K)
         all_fin_seqs = jnp.concatenate([fin_seq, seqs], axis=1)
-        all_fin_flags = jnp.concatenate([fin_flags, is_eos], axis=1)
+        all_fin_flags = jnp.concatenate([fin_flags, finishes], axis=1)
         new_fin_scores, fin_top = jax.lax.top_k(all_fin_scores, K)
         new_fin_seqs = gather_beams(all_fin_seqs, fin_top)
         new_fin_flags = gather_beams(all_fin_flags, fin_top)

@@ -1,6 +1,7 @@
 """Generation parity: jitted greedy/beam vs HF torch generate on a tiny T5."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -126,3 +127,26 @@ def test_beam_forced_prefix():
     ))
     assert list(out[0, 1:4]) == [7, 9, 11]
     assert list(out[1, 1:3]) == [20, 21]
+
+
+@pytest.mark.parametrize("penalty", [-0.7, 0.0, 2.0])
+def test_beam_length_penalty_edges_match_hf(penalty):
+    """HF early_stopping=False divides its termination bound by the CURRENT
+    length for every penalty sign (BeamHypotheses.is_done) — negative and zero
+    penalties exercise that heuristic where a max_length-based bound diverges."""
+    model, cfg, params = _tiny()
+    rng = np.random.RandomState(7)
+    B, L, MAX = 2, 8, 12
+    ids = rng.randint(2, VOCAB, (B, L))
+    mask = np.ones((B, L), dtype=np.int64)
+    with torch.no_grad():
+        hf = model.generate(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask),
+            max_length=MAX, num_beams=3, do_sample=False, length_penalty=penalty,
+        ).numpy()
+    ours = np.asarray(beam_generate(
+        params, cfg, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]),
+        max_length=MAX, num_beams=3, length_penalty=penalty,
+    ))
+    for b in range(B):
+        assert _strip(ours[b]) == _strip(hf[b]), (b, penalty, ours[b], hf[b])
