@@ -493,14 +493,29 @@ def init_decode_cache(
         return jax.vmap(lambda wl: _split_heads(enc @ wl, H))(w)
 
     ca = params["decoder"]["layers"]["cross_attn"]
+    sa = params["decoder"]["layers"]["self_attn"]
     nL = ca["k"].shape[0]
     sb = self_batch if self_batch is not None else B
+    # decode-step op-count reductions (the step is dispatch-bound at small B):
+    # one fused qkv matmul instead of three, and the full (H, T, T) self bias
+    # (rel-pos buckets + causal mask) precomputed once — sliced per step instead
+    # of re-bucketing every token
+    wqkv = jnp.concatenate([sa["q"], sa["k"], sa["v"]], axis=-1)  # (nL, D, 3I)
+    tpos = jnp.arange(max_len)
+    bias_table = compute_position_bias(
+        params["decoder"]["rel_bias"].astype(jnp.float32), tpos, tpos,
+        bidirectional=False,
+        num_buckets=cfg.relative_attention_num_buckets,
+        max_distance=cfg.relative_attention_max_distance,
+    )[0] + jnp.where(tpos[:, None] >= tpos[None, :], 0.0, NEG_INF)[None]  # (H,T,T)
     return {
         "cross_k": proj(ca["k"]),
         "cross_v": proj(ca["v"]),
         "self_k": jnp.zeros((nL, sb, H, max_len, Dh), dtype=cfg.dtype),
         "self_v": jnp.zeros((nL, sb, H, max_len, Dh), dtype=cfg.dtype),
         "cross_bias": make_attention_bias(encoder_mask),  # (B,1,1,Lk)
+        "wqkv": wqkv,
+        "self_bias_table": bias_table,
     }
 
 
@@ -520,24 +535,34 @@ def t5_decode_step(
     Tmax = cache["self_k"].shape[3]
     x = jnp.take(params["shared"], tokens[:, None], axis=0).astype(cfg.dtype)  # (B,1,D)
 
-    kpos = jnp.arange(Tmax)
-    self_bias = compute_position_bias(
-        params["decoder"]["rel_bias"].astype(jnp.float32),
-        pos[None] if pos.ndim == 0 else pos,
-        kpos,
-        bidirectional=False,
-        num_buckets=cfg.relative_attention_num_buckets,
-        max_distance=cfg.relative_attention_max_distance,
-    )  # (1,H,1,Tmax)
-    self_bias = self_bias + jnp.where(kpos <= pos, 0.0, NEG_INF)[None, None, None, :]
+    if "self_bias_table" in cache:
+        # precomputed rel-pos + causal table (init_decode_cache): slice one row
+        self_bias = cache["self_bias_table"][:, pos][None, :, None, :]  # (1,H,1,Tmax)
+    else:
+        kpos = jnp.arange(Tmax)
+        self_bias = compute_position_bias(
+            params["decoder"]["rel_bias"].astype(jnp.float32),
+            pos[None] if pos.ndim == 0 else pos,
+            kpos,
+            bidirectional=False,
+            num_buckets=cfg.relative_attention_num_buckets,
+            max_distance=cfg.relative_attention_max_distance,
+        )  # (1,H,1,Tmax)
+        self_bias = self_bias + jnp.where(kpos <= pos, 0.0, NEG_INF)[None, None, None, :]
     cross_bias = cache["cross_bias"]
+    sa = params["decoder"]["layers"]["self_attn"]
+    wqkv = cache.get("wqkv")
+    if wqkv is None:  # cache built by an older init: fuse on the fly
+        wqkv = jnp.concatenate([sa["q"], sa["k"], sa["v"]], axis=-1)
+    inner = cfg.inner_dim
 
     def layer(x, xs):
-        lp, sk, sv, ck, cv = xs
+        lp, sk, sv, ck, cv, wqkv_l = xs
         h = rms_norm(x, lp["ln1"], cfg.layer_norm_epsilon)
-        q = _split_heads(h @ lp["self_attn"]["q"], cfg.num_heads)
-        new_k = _split_heads(h @ lp["self_attn"]["k"], cfg.num_heads)  # (B,H,1,Dh)
-        new_v = _split_heads(h @ lp["self_attn"]["v"], cfg.num_heads)
+        qkv = h @ wqkv_l  # (B, 1, 3I): one matmul instead of three
+        q = _split_heads(qkv[..., :inner], cfg.num_heads)
+        new_k = _split_heads(qkv[..., inner : 2 * inner], cfg.num_heads)  # (B,H,1,Dh)
+        new_v = _split_heads(qkv[..., 2 * inner :], cfg.num_heads)
         sk = jax.lax.dynamic_update_slice(sk, new_k.astype(sk.dtype), (0, 0, pos, 0))
         sv = jax.lax.dynamic_update_slice(sv, new_v.astype(sv.dtype), (0, 0, pos, 0))
         a = dot_product_attention(q, sk, sv, bias=self_bias)
@@ -563,7 +588,7 @@ def t5_decode_step(
     (x), (new_sk, new_sv) = jax.lax.scan(
         layer, x,
         (params["decoder"]["layers"], cache["self_k"], cache["self_v"],
-         cache["cross_k"], cache["cross_v"]),
+         cache["cross_k"], cache["cross_v"], wqkv),
     )
     x = rms_norm(x, params["decoder"]["final_ln"], cfg.layer_norm_epsilon)
     logits = _lm_logits(params, cfg, x)[:, 0]  # (B, V)
