@@ -57,6 +57,7 @@ class DistributedApproxIndex(DistributedIndex):
         # invalidated on (re)train — unlike the flat index's shape-keyed cache
         self._search_fn = None
         self._ivf_layout: Optional[Dict[str, Any]] = None  # cluster-sorted blocks
+        self._sparse_fn = None  # cached jitted sparse searches, keyed by topk
         self.quant: Dict[str, Any] = {}  # replicated quantizer state
         self.codes: Optional[jax.Array] = None  # sharded (N_pad, M) uint8
         self.cluster_of: Optional[jax.Array] = None  # sharded (N_pad,) int32
@@ -131,6 +132,7 @@ class DistributedApproxIndex(DistributedIndex):
         self._encode_all()
         self._search_fn = None
         self._ivf_layout = None
+        self._sparse_fn = None
 
     def _encode_all(self) -> None:
         """Row-parallel encode of the sharded embedding matrix into sharded codes."""
@@ -418,6 +420,9 @@ class DistributedApproxIndex(DistributedIndex):
         if self._sparse_engaged():
             if self._ivf_layout is None:
                 self._build_ivf_layout()
+            if self._sparse_fn is None:
+                # cache keyed by topk; closures capture the CURRENT layout, so the
+                # cache dies with it (train_index/load_index null both)
                 self._sparse_fn = functools.cache(self._build_search_sparse)
             lay = self._ivf_layout
             return self._sparse_fn(topk)(
@@ -448,5 +453,6 @@ class DistributedApproxIndex(DistributedIndex):
             self._encode_all()
             self._search_fn = None  # new quant state -> stale closures
             self._ivf_layout = None
+            self._sparse_fn = None
         else:
             self.train_index()

@@ -28,12 +28,16 @@ R = 128  # rows per block: one output vreg lane-dim; clusters pad to multiples o
 
 
 def _kernel(ids_ref, q_ref, x_ref, o_ref):
-    # q (1, D), x (1, R, D) -> scores (1, 1, R)
-    x = x_ref[0]
-    s = jax.lax.dot_general(
-        x, q_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (R, 1)
-    o_ref[0, 0, :] = s[:, 0]
+    # q block (1, 8, D): queries arrive sublane-replicated x8 because TPU blocks
+    # need an 8-aligned sublane dim and Mosaic cannot prove a dynamic single-row
+    # load aligned; row 0 is a static read. x (1, R, D) -> scores (1, 1, 1, R)
+    q = q_ref[0, 0:1, :].astype(jnp.float32)  # (1, D)
+    x = x_ref[0].astype(jnp.float32)
+    # VPU multiply-reduce, not an MXU dot: the (R, D)x(D, 1) matvec is DMA-bound
+    # (196KB block read per ~0.1MFLOP), and Mosaic's mixed-dtype matvec lowering
+    # miscompiles (vector.broadcast bf16->f32 verifier error), so cast explicitly
+    s = jnp.sum(x * q, axis=1)  # (R,)
+    o_ref[0, 0, 0, :] = s
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -59,19 +63,23 @@ def ivf_sparse_scores(
         num_scalar_prefetch=1,
         grid=(B, L),
         in_specs=[
-            pl.BlockSpec((1, D), lambda b, l, ids: (b, 0)),
+            pl.BlockSpec((1, 8, D), lambda b, l, ids: (b, 0, 0)),
             pl.BlockSpec((1, R, D), lambda b, l, ids: (ids[b, l], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, R), lambda b, l, ids: (b, l, 0)),
+        # (B, L, 1, R) so the block's trailing (1, R) EQUALS the array's trailing
+        # dims — TPU blocks must be (8, 128)-aligned or whole-dim
+        out_specs=pl.BlockSpec((1, 1, 1, R), lambda b, l, ids: (b, l, 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, L, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, L, 1, R), jnp.float32),
         interpret=bool(interpret),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * L * R * D,
             bytes_accessed=B * L * R * D * x_blocks.dtype.itemsize,
             transcendentals=0,
         ),
-    )(ids.astype(jnp.int32), queries, x_blocks)
+    )(ids.astype(jnp.int32),
+      jnp.broadcast_to(queries[:, None, :], (B, 8, D)), x_blocks)
+    return out.reshape(B, L, R)
