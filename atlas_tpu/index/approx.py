@@ -12,10 +12,11 @@ on the local embeddings (:348-358), fp16 lookup tables. TPU-native redesign:
   decoding code chunks on the fly (decode-and-matmul ADC: reconstruction is a gather
   + the same MXU matmul as flat — HBM traffic drops by the compression factor, which
   is the point of PQ/SQ at 400M-passage scale).
-- IVF keeps exact list semantics via a probe MASK: rows whose coarse cluster is not
-  among the query's nprobe nearest centroids score -inf. With the reference's
-  degenerate nprobe = nlist default this costs the same as its full scan; sparse
-  probing via a scalar-prefetch Pallas kernel is the planned fast path.
+- IVF keeps exact list semantics two ways: a probe MASK over the full scan (rows of
+  unprobed clusters score -inf — same cost as the reference's degenerate
+  nprobe = nlist default), and a sparse posting-list path (ops/ivf_sparse.py, a
+  scalar-prefetch Pallas kernel over a cluster-sorted block layout) that engages
+  when nprobe << nlist so cost scales with the rows actually probed.
 - The ".faiss file" role (:228-243) is an npz of quantizer state + codes per process.
 """
 
@@ -162,7 +163,7 @@ class DistributedApproxIndex(DistributedIndex):
         """Cluster-sorted, block-padded row layout for sparse probing.
 
         Per device shard: rows sorted by coarse cluster, each cluster padded to a
-        multiple of R=128 rows so no block straddles clusters (the contract of
+        multiple of R rows so no block straddles clusters (the contract of
         ops/ivf_sparse.py). Two passes because SPMD shapes must be static: pass 1
         measures the padded block count (max over devices), pass 2 scatters.
         """
@@ -190,14 +191,19 @@ class DistributedApproxIndex(DistributedIndex):
             _, counts = _cl_counts(cluster_shard)
             nb = -(-counts // R)
             nb_total = jnp.sum(nb)
+            # descending per-cluster block counts, maxed elementwise over devices:
+            # sum of its first nprobe entries bounds ANY query's probed-block count
+            # on ANY device — the static slot budget for the packed block lists
+            nb_sorted = -jnp.sort(-nb)
             return (jax.lax.pmax(nb_total, ("dp", "mp")),
-                    jax.lax.pmax(jnp.max(nb), ("dp", "mp")))
+                    jax.lax.pmax(nb_sorted, ("dp", "mp")))
 
-        nb_total, maxb = jax.jit(jax.shard_map(
+        nb_total, nb_sorted = jax.jit(jax.shard_map(
             measure, mesh=mesh, in_specs=(rowP,), out_specs=(P(), P()),
             check_vma=False,
         ))(self.cluster_of)
-        NB, maxb = max(int(nb_total), 1), max(int(maxb), 1)
+        NB = max(int(nb_total), 1)
+        nb_budget = np.asarray(nb_sorted, dtype=np.int64)
 
         def build(x_shard, cluster_shard):
             cl, counts = _cl_counts(cluster_shard)
@@ -220,7 +226,7 @@ class DistributedApproxIndex(DistributedIndex):
             build, mesh=mesh, in_specs=(rowP, rowP),
             out_specs=(rowP, rowP, rowP, rowP, rowP), check_vma=False,
         ))(x_src, self.cluster_of)
-        self._ivf_layout = {"R": R, "NB": NB, "maxb": maxb, "nlist": nlist,
+        self._ivf_layout = {"R": R, "NB": NB, "nb_budget": nb_budget, "nlist": nlist,
                             "x": x_b, "rowvalid": rv, "gid": gid,
                             "bstart": bstart, "nb": nb}
 
@@ -231,11 +237,16 @@ class DistributedApproxIndex(DistributedIndex):
         from atlas_tpu.ops.ivf_sparse import ivf_sparse_scores
 
         lay = self._ivf_layout
-        R, NB, maxb, nlist = lay["R"], lay["NB"], lay["maxb"], lay["nlist"]
+        R, NB, nlist = lay["R"], lay["NB"], lay["nlist"]
         mesh, n_pad, n_dev = self.mesh, self.n_pad, self.n_devices
         shard_rows = n_pad // n_dev
         nprobe = min(self.nprobe(), nlist)
-        L = nprobe * maxb
+        # static slot budget: no query on any device can probe more blocks than
+        # the nprobe largest clusters hold. Packed (cumulative) placement instead
+        # of an nprobe x max_blocks rectangle — the kernel is per-grid-step bound,
+        # so wasted padding slots cost real time under cluster-size skew
+        L = int(min(NB, lay["nb_budget"][:nprobe].sum()))
+        L = max(L, 1)
         quant, dtype = self.quant, self.dtype
         uses_sq = self.uses_sq
         cents = quant["centroids"]
@@ -249,9 +260,20 @@ class DistributedApproxIndex(DistributedIndex):
             cscores = qf @ cents.T - 0.5 * jnp.sum(cents * cents, axis=1)[None]
             _, cs = jax.lax.top_k(cscores, nprobe)  # (B, nprobe)
 
-            blocks = bstart[cs][:, :, None] + jnp.arange(maxb, dtype=jnp.int32)
-            lvalid = jnp.arange(maxb)[None, None, :] < nb[cs][:, :, None]
-            ids = jnp.where(lvalid, blocks, 0).reshape(B, L)
+            # pack each query's probed blocks contiguously: slot s belongs to the
+            # probe whose exclusive-cumsum span covers s
+            nbs = nb[cs]  # (B, nprobe) blocks per probed cluster
+            offs = jnp.cumsum(nbs, axis=1) - nbs  # exclusive (B, nprobe), ascending
+            total = offs[:, -1] + nbs[:, -1]  # (B,) true block count
+            slots = jnp.arange(L, dtype=jnp.int32)
+            pidx = jax.vmap(
+                lambda o: jnp.searchsorted(o, slots, side="right") - 1
+            )(offs).astype(jnp.int32)  # (B, L) probe index per slot
+            pidx = jnp.clip(pidx, 0, nprobe - 1)
+            sel = jnp.take_along_axis(cs, pidx, axis=1)  # (B, L) cluster per slot
+            ids = bstart[sel] + (slots[None, :] - jnp.take_along_axis(offs, pidx, axis=1))
+            lvalid = slots[None, :] < total[:, None]
+            ids = jnp.where(lvalid, ids, 0)
 
             if uses_sq:
                 q_eff = (qf * quant["sq_scale"]).astype(dtype)
@@ -262,7 +284,7 @@ class DistributedApproxIndex(DistributedIndex):
             s = ivf_sparse_scores(q_eff, x_b, ids, interpret=interp)  # (B, L, R)
             # mask list-padding entries and in-block padding rows
             rmask = jnp.where(rowvalid.reshape(NB, R)[ids], 0.0, NEG)  # (B, L, R)
-            s = s + rmask + jnp.where(lvalid.reshape(B, L, 1), 0.0, NEG)
+            s = s + rmask + jnp.where(lvalid[:, :, None], 0.0, NEG)
             s = s.reshape(B, L * R)
             kk = min(k_local, L * R)
             vals, pos = jax.lax.top_k(s, kk)
@@ -359,7 +381,11 @@ class DistributedApproxIndex(DistributedIndex):
             qf = queries.astype(jnp.float32)
             if uses_ivf:
                 cents = quant["centroids"]
-                cscores = qf @ cents.T  # (B, nlist) inner-product coarse ranking
+                # probe by the ASSIGNMENT metric (argmax x.c - |c|^2/2, the
+                # L2-equivalent used by Q.kmeans/_encode_all): probing by plain
+                # inner product selects different clusters than the rows were
+                # binned under, silently costing recall at small nprobe
+                cscores = qf @ cents.T - 0.5 * jnp.sum(cents * cents, axis=1)[None]
                 thresh = jax.lax.top_k(cscores, nprobe)[0][:, -1]  # (B,)
                 probe_mask = cscores >= thresh[:, None]  # (B, nlist)
 

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-R = 128  # rows per block: one output vreg lane-dim; clusters pad to multiples of R
+R = 256  # rows per block; clusters pad to multiples of R. Larger blocks amortize
+# the ~0.5us per-grid-step cost (measured: the kernel is step-bound, not
+# DMA-bound, at 1M x 768) at the price of more per-cluster padding.
 
 
 def _kernel(ids_ref, q_ref, x_ref, o_ref):
@@ -54,7 +56,7 @@ def ivf_sparse_scores(
     """
     B, D = queries.shape
     NB, r, _ = x_blocks.shape
-    assert r == R, (r, R)
+    assert r % 128 == 0, r  # lane-dim alignment of the (1,1,1,r) output block
     L = ids.shape[1]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -64,22 +66,22 @@ def ivf_sparse_scores(
         grid=(B, L),
         in_specs=[
             pl.BlockSpec((1, 8, D), lambda b, l, ids: (b, 0, 0)),
-            pl.BlockSpec((1, R, D), lambda b, l, ids: (ids[b, l], 0, 0)),
+            pl.BlockSpec((1, r, D), lambda b, l, ids: (ids[b, l], 0, 0)),
         ],
         # (B, L, 1, R) so the block's trailing (1, R) EQUALS the array's trailing
         # dims — TPU blocks must be (8, 128)-aligned or whole-dim
-        out_specs=pl.BlockSpec((1, 1, 1, R), lambda b, l, ids: (b, l, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, 1, r), lambda b, l, ids: (b, l, 0, 0)),
     )
     out = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, L, 1, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, L, 1, r), jnp.float32),
         interpret=bool(interpret),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * L * R * D,
-            bytes_accessed=B * L * R * D * x_blocks.dtype.itemsize,
+            flops=2 * B * L * r * D,
+            bytes_accessed=B * L * r * D * x_blocks.dtype.itemsize,
             transcendentals=0,
         ),
     )(ids.astype(jnp.int32),
       jnp.broadcast_to(queries[:, None, :], (B, 8, D)), x_blocks)
-    return out.reshape(B, L, R)
+    return out.reshape(B, L, r)
