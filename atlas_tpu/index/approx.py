@@ -230,7 +230,7 @@ class DistributedApproxIndex(DistributedIndex):
                             "x": x_b, "rowvalid": rv, "gid": gid,
                             "bstart": bstart, "nb": nb}
 
-    def _build_search_sparse(self, topk: int):
+    def _build_search_sparse(self, topk: int, nprobe_req: int):
         """Sparse-probing search: per query, only the probed clusters' blocks are
         DMA'd and scored (ops/ivf_sparse.py). Same exact list semantics as the
         masked scan — identical results at equal nprobe."""
@@ -240,7 +240,7 @@ class DistributedApproxIndex(DistributedIndex):
         R, NB, nlist = lay["R"], lay["NB"], lay["nlist"]
         mesh, n_pad, n_dev = self.mesh, self.n_pad, self.n_devices
         shard_rows = n_pad // n_dev
-        nprobe = min(self.nprobe(), nlist)
+        nprobe = min(nprobe_req, nlist)
         # static slot budget: no query on any device can probe more blocks than
         # the nprobe largest clusters hold. Packed (cumulative) placement instead
         # of an nprobe x max_blocks rectangle — the kernel is per-grid-step bound,
@@ -359,7 +359,7 @@ class DistributedApproxIndex(DistributedIndex):
                 preferred_element_type=jnp.float32)
         return score
 
-    def _build_search(self, topk: int):
+    def _build_search(self, topk: int, nprobe_req: int = 0):
         if self.index_type == "flat":
             return super()._build_search(topk)
         mesh, n_pad = self.mesh, self.n_pad
@@ -369,7 +369,7 @@ class DistributedApproxIndex(DistributedIndex):
         chunk = min(131072, shard_rows)
         nchunks = -(-shard_rows // chunk)
         uses_ivf = self.uses_ivf
-        nprobe = min(self.nprobe(), self._nlist()) if uses_ivf else 0
+        nprobe = min(nprobe_req or self.nprobe(), self._nlist()) if uses_ivf else 0
         quant = self.quant
         score_chunk = self._make_chunk_scorer()
         recall_target = self.recall_target
@@ -451,12 +451,15 @@ class DistributedApproxIndex(DistributedIndex):
                 # cache dies with it (train_index/load_index null both)
                 self._sparse_fn = functools.cache(self._build_search_sparse)
             lay = self._ivf_layout
-            return self._sparse_fn(topk)(
+            return self._sparse_fn(topk, self.nprobe())(
                 queries, lay["x"], lay["rowvalid"], lay["gid"], lay["bstart"], lay["nb"]
             )
         if self._search_fn is None:
             self._search_fn = functools.cache(self._build_search)
-        return self._search_fn(topk)(queries, self.embeddings, self.codes, self.cluster_of)
+        # nprobe is mutable object state but baked into the executable — it must
+        # be part of the cache key or a changed nprobe reuses a stale program
+        return self._search_fn(topk, self.nprobe())(
+            queries, self.embeddings, self.codes, self.cluster_of)
 
     # ------------------------------------------------------------------------ io
 
