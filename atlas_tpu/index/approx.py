@@ -49,6 +49,7 @@ class DistributedApproxIndex(DistributedIndex):
         # codes feed the MXU directly (see _build_search)
         self.sq_bits = 8 if index_type == "sq8" else 4
         self.adc_impl = "auto"  # "auto" | "pallas" (ops.pq_adc kernel) | "xla"
+        self.scan_chunk = 131072  # rows per lax.scan step in the masked scan
         # IVF probing: 0 = reference default nprobe = nlist = floor(sqrt(N))
         # (index.py:212), where the masked scan costs the same as faiss's full
         # sweep. A smaller explicit nprobe engages the sparse posting-list path.
@@ -366,7 +367,7 @@ class DistributedApproxIndex(DistributedIndex):
         n_dev = self.n_devices
         shard_rows = n_pad // n_dev
         k_local = min(topk, shard_rows)
-        chunk = min(131072, shard_rows)
+        chunk = min(self.scan_chunk, shard_rows)
         nchunks = -(-shard_rows // chunk)
         uses_ivf = self.uses_ivf
         nprobe = min(nprobe_req or self.nprobe(), self._nlist()) if uses_ivf else 0
@@ -391,11 +392,20 @@ class DistributedApproxIndex(DistributedIndex):
 
             def body(carry, ci):
                 vals, idx = carry
-                start = ci * chunk
+                # XLA dynamic_slice CLAMPS an out-of-bounds start instead of
+                # erroring: when chunk does not divide shard_rows, the last
+                # chunk's slice silently shifts back by the remainder while the
+                # id arithmetic still assumes ci*chunk — every result from that
+                # chunk gets a wrong id (caught on hardware: scores paired with
+                # rows 48k away). Clamp explicitly and NEG-mask the re-read
+                # overlap rows so they cannot duplicate the previous chunk's.
+                start = jnp.minimum(ci * chunk, shard_rows - chunk)
+                repeat = ci * chunk - start  # >0 only on the clamped last chunk
                 e = jax.lax.dynamic_slice_in_dim(emb_shard, start, chunk, axis=0)
                 c = (jax.lax.dynamic_slice_in_dim(codes_shard, start, chunk, axis=0)
                      if codes_shard is not None else None)
                 s = score_chunk(queries, e, c)  # (B, chunk)
+                s = jnp.where(jnp.arange(chunk)[None, :] >= repeat, s, NEG)
                 gids = dev * shard_rows + start + jnp.arange(chunk)
                 # padding sits at each process-block tail (flat.py row space)
                 local_ids = start + jnp.arange(chunk)

@@ -192,3 +192,26 @@ def test_ivf_sparse_recall_and_docs(mesh):
     assert [d[0]["id"] for d in docs] == [str(i) for i in range(5)]
     rec = _recall(index, embs, topk=10, nq=16)
     assert rec >= 0.9, rec
+
+
+def test_masked_scan_nondivisible_chunk(mesh):
+    """Regression: XLA dynamic_slice CLAMPS an out-of-bounds start. When the scan
+    chunk did not divide the shard rows, the last chunk silently re-read earlier
+    rows while the id arithmetic assumed ci*chunk — results carried wrong ids
+    (found on TPU at 1M rows / 131072 chunk). Force a non-dividing chunk and
+    check ids against the exact oracle."""
+    embs, passages = _corpus(n=2000, seed=11)
+    index = DistributedApproxIndex("ivfflat", mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=32)
+    index.write_embeddings_rows(0, jnp.asarray(embs))
+    index.train_index()
+    # shard_rows = 2000/8 = 250; chunk 96 does not divide it (250 = 2*96 + 58)
+    index.scan_chunk = 96
+    index._search_fn = None
+    q = embs[:6]
+    _, gids = index.device_search(jnp.asarray(q), 10)
+    gids = np.asarray(gids)
+    exact = np.argsort(-(q @ embs.T), axis=1)[:, :10]
+    # nprobe == nlist (reference default) -> the masked scan is an exact sweep
+    for i in range(len(q)):
+        assert set(gids[i]) == set(exact[i]), (i, sorted(gids[i]), sorted(exact[i]))
