@@ -60,6 +60,10 @@ class T5Config:
     # "auto": Pallas flash attention on TPU for the hot shapes, XLA fallback elsewhere;
     # "flash": always (interpret-mode on CPU — tests only); "xla": never.
     attn_impl: str = "auto"
+    # Unroll factor for the decode-step layer scan: unrolled iterations expose
+    # static weight slices, letting XLA prefetch layer i+1's weights during
+    # layer i's compute (the step is dispatch/latency-bound at small batch).
+    decode_scan_unroll: int = 1
 
     @property
     def inner_dim(self) -> int:
@@ -255,9 +259,17 @@ def _ffn_apply(ffn, x, cfg: T5Config, deterministic, rng):
     return h.astype(x.dtype) @ ffn["wo"]
 
 
-def _use_flash(cfg: T5Config, lq: int, lk: int, capture: bool = False) -> bool:
-    """Flash engages on TPU when the score tensor is big enough to matter; the
-    capture path needs materialized probs (fid.py:335-341) so it always falls back."""
+def _use_flash(cfg: T5Config, lq: int, lk: int, capture: bool = False,
+               deterministic: bool = False) -> bool:
+    """Flash engages on TPU when it measures faster than XLA; the capture path
+    needs materialized probs (fid.py:335-341) so it always falls back.
+
+    Measured on v5e (t5-base): training fwd+bwd at L=384 flash is 1.3x XLA (the
+    bwd avoids re-materializing scores and the in-kernel PRNG avoids dropout mask
+    tensors), but DETERMINISTIC forward-only at L=256 flash is ~6% slower (XLA's
+    fused softmax is already bandwidth-optimal and flash pays kernel overhead) —
+    so inference keeps XLA until the score tensor gets big enough that avoiding
+    its HBM round-trip wins."""
     if capture:
         return False
     impl = getattr(cfg, "attn_impl", "auto")
@@ -265,7 +277,11 @@ def _use_flash(cfg: T5Config, lq: int, lk: int, capture: bool = False) -> bool:
         return True
     if impl != "auto":
         return False
-    return jax.default_backend() == "tpu" and (lq >= 128 or lk >= 1024)
+    if jax.default_backend() != "tpu":
+        return False
+    if not deterministic:  # training: fwd+bwd+dropout — flash wins from L>=128
+        return lq >= 128 or lk >= 1024
+    return lq >= 512 or lk >= 4096
 
 
 def _attn_apply(
@@ -322,7 +338,7 @@ def t5_encode(
         num_buckets=cfg.relative_attention_num_buckets,
         max_distance=cfg.relative_attention_max_distance,
     )
-    use_flash = _use_flash(cfg, L, L)
+    use_flash = _use_flash(cfg, L, L, deterministic=deterministic)
     if use_flash:
         bias = None  # flash composes pos_bias + key mask in-kernel, never in HBM
     else:
@@ -387,8 +403,9 @@ def t5_decode(
         max_distance=cfg.relative_attention_max_distance,
     )
     Lk = encoder_hidden.shape[1]
-    self_flash = _use_flash(cfg, Lt, Lt)
-    cross_flash = _use_flash(cfg, Lt, Lk, capture=capture_cross_attn)
+    self_flash = _use_flash(cfg, Lt, Lt, deterministic=deterministic)
+    cross_flash = _use_flash(cfg, Lt, Lk, capture=capture_cross_attn,
+                             deterministic=deterministic)
     self_bias = None if self_flash else self_pos_bias + make_causal_bias(Lt)
     cross_bias = None if cross_flash else make_attention_bias(encoder_mask)  # (B,1,1,Lk)
     enc = encoder_hidden.astype(cfg.dtype)
@@ -589,6 +606,7 @@ def t5_decode_step(
         layer, x,
         (params["decoder"]["layers"], cache["self_k"], cache["self_v"],
          cache["cross_k"], cache["cross_v"], wqkv),
+        unroll=max(1, getattr(cfg, "decode_scan_unroll", 1)),
     )
     x = rms_norm(x, params["decoder"]["final_ln"], cfg.layer_norm_epsilon)
     logits = _lm_logits(params, cfg, x)[:, 0]  # (B, V)
