@@ -12,6 +12,10 @@ its own stated anchor:
 - pq_adc_qps: same scan through the 8-bit PQ ADC Pallas kernel (ops/pq_adc.py) at
   code_size 64 (24x compression vs bf16) — the faiss IVFPQ role (index.py:302-345).
   Anchor: the same 6000 QPS flat baseline (compression should not cost throughput).
+- ivf_sparse_qps: sparse posting-list probing (ops/ivf_sparse.py) on a clustered
+  1M corpus, nlist=1000, nprobe=16, B=8 serving batch — the faiss IVF cost model
+  (index.py:207-219). vs_baseline = speedup over the masked full sweep at equal
+  (1.0) recall.
 - fid_train_tokens_per_s: t5-base FiD joint fwd+bwd at the NQ shape (B=1, N=40,
   L=384, remat, dropout 0.1, bf16 compute / fp32 masters), encoder tokens/s.
   Anchor: the SAME step with the reference's score-materializing attention
@@ -86,6 +90,44 @@ def bench_pq_adc():
     qps = BATCH / dt
     return {"metric": "pq_adc_qps_per_chip_1Mx768_m64_k100_b64", "value": round(qps, 1),
             "unit": "queries/s", "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2)}
+
+
+def bench_ivf_sparse():
+    """Sparse posting-list probing (ops/ivf_sparse.py) at the serving point:
+    ivfflat, nlist=1000, nprobe=16, B=8 — cost ∝ probed rows (faiss IVF role,
+    index.py:207-219). Anchor: the masked full sweep on the same corpus; the
+    measured operating point holds recall@100 = 1.0 on clustered data."""
+    from atlas_tpu.index.approx import DistributedApproxIndex
+    from atlas_tpu.parallel.mesh import make_mesh, set_global_mesh
+
+    B = 8
+    mesh = make_mesh(1, 1)
+    set_global_mesh(mesh)
+
+    @jax.jit
+    def gen(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        centers = jax.random.normal(k1, (1000, DIM), jnp.float32) * 2
+        asg = jax.random.randint(k2, (N_PASSAGES,), 0, 1000)
+        e = centers[asg] + 0.3 * jax.random.normal(k3, (N_PASSAGES, DIM), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    embs = gen(jax.random.PRNGKey(7))
+    index = DistributedApproxIndex("ivfflat", mesh=mesh, dtype=jnp.bfloat16, nprobe=16)
+    index.init_embeddings([{"id": str(i)} for i in range(N_PASSAGES)], dim=DIM)
+    index.write_embeddings_rows(0, embs)
+    q = embs[:B].astype(jnp.float32)
+    del embs
+    index.train_index()
+
+    index.ivf_impl = "masked"
+    dt_masked = _timed(lambda: index.device_search(q, TOPK), 20)
+    index.ivf_impl = "sparse"
+    index.device_search(q, TOPK)  # builds layout + compiles
+    dt = _timed(lambda: index.device_search(q, TOPK), 20)
+    qps = B / dt
+    return {"metric": "ivf_sparse_qps_1Mx768_nlist1000_nprobe16_b8", "value": round(qps, 1),
+            "unit": "queries/s", "vs_baseline": round(dt_masked / dt, 2)}
 
 
 def _fid_step_ms(attn_impl):
@@ -174,7 +216,7 @@ def bench_refresh():
 
 
 def main():
-    benches = [bench_pq_adc, bench_fid_train, bench_decode, bench_refresh, bench_flat_mips]
+    benches = [bench_pq_adc, bench_ivf_sparse, bench_fid_train, bench_decode, bench_refresh, bench_flat_mips]
     for b in benches:  # headline flat-MIPS metric printed LAST
         try:
             print(json.dumps(b()), flush=True)
