@@ -92,9 +92,9 @@ class DistributedApproxIndex(DistributedIndex):
     def _sparse_engaged(self) -> bool:
         """Sparse posting-list probing pays off when nprobe is a small fraction of
         nlist (cost ∝ B·nprobe·cluster vs one full-shard stream for the masked
-        scan). PQ keeps the masked scan (its ADC kernel needs the full code
-        stream layout)."""
-        if not self.uses_ivf or self.uses_pq:
+        scan). ivfflat/ivfsq use ops.ivf_sparse; ivfpq uses the sparse ADC kernel
+        (ops.pq_adc.pq_adc_sparse_scores) over block-transposed codes."""
+        if not self.uses_ivf:
             return False
         if self.ivf_impl == "sparse":
             return True
@@ -172,7 +172,7 @@ class DistributedApproxIndex(DistributedIndex):
 
         nlist = self._nlist()
         mesh = self.mesh
-        x_src = self.codes if self.uses_sq else self.embeddings
+        x_src = self.codes if (self.uses_sq or self.uses_pq) else self.embeddings
         x_dtype = x_src.dtype
         S = self.n_pad // self.n_devices  # rows per shard
         D = x_src.shape[1]
@@ -221,7 +221,10 @@ class DistributedApproxIndex(DistributedIndex):
             x_sorted = jnp.zeros((NB * R, D), x_dtype).at[pos].set(x_shard[order], mode="drop")
             rowvalid = jnp.zeros((NB * R,), jnp.bool_).at[pos].set(True, mode="drop")
             gid = jnp.zeros((NB * R,), jnp.int32).at[pos].set(order.astype(jnp.int32), mode="drop")
-            return x_sorted.reshape(NB, R, D), rowvalid, gid, bstart, nb.astype(jnp.int32)
+            x_blocks = x_sorted.reshape(NB, R, D)
+            if self.uses_pq:  # sparse ADC kernel wants code blocks TRANSPOSED (NB, M, R)
+                x_blocks = jnp.transpose(x_blocks, (0, 2, 1))
+            return x_blocks, rowvalid, gid, bstart, nb.astype(jnp.int32)
 
         x_b, rv, gid, bstart, nb = jax.jit(jax.shard_map(
             build, mesh=mesh, in_specs=(rowP, rowP),
@@ -249,7 +252,7 @@ class DistributedApproxIndex(DistributedIndex):
         L = int(min(NB, lay["nb_budget"][:nprobe].sum()))
         L = max(L, 1)
         quant, dtype = self.quant, self.dtype
-        uses_sq = self.uses_sq
+        uses_sq, uses_pq = self.uses_sq, self.uses_pq
         cents = quant["centroids"]
         k_local = min(topk, shard_rows)
         interp = jax.default_backend() != "tpu"
@@ -276,13 +279,19 @@ class DistributedApproxIndex(DistributedIndex):
             lvalid = slots[None, :] < total[:, None]
             ids = jnp.where(lvalid, ids, 0)
 
-            if uses_sq:
-                q_eff = (qf * quant["sq_scale"]).astype(dtype)
-                const = qf @ (quant["sq_vmin"] + 0.5 * quant["sq_scale"])  # (B,)
+            const = jnp.zeros((B,), jnp.float32)
+            if uses_pq:
+                from atlas_tpu.ops.pq_adc import pq_adc_sparse_scores
+
+                s = pq_adc_sparse_scores(qf, quant["codebooks"], x_b, ids,
+                                         interpret=interp)  # (B, L, R)
             else:
-                q_eff = queries.astype(dtype)
-                const = jnp.zeros((B,), jnp.float32)
-            s = ivf_sparse_scores(q_eff, x_b, ids, interpret=interp)  # (B, L, R)
+                if uses_sq:
+                    q_eff = (qf * quant["sq_scale"]).astype(dtype)
+                    const = qf @ (quant["sq_vmin"] + 0.5 * quant["sq_scale"])  # (B,)
+                else:
+                    q_eff = queries.astype(dtype)
+                s = ivf_sparse_scores(q_eff, x_b, ids, interpret=interp)  # (B, L, R)
             # mask list-padding entries and in-block padding rows
             rmask = jnp.where(rowvalid.reshape(NB, R)[ids], 0.0, NEG)  # (B, L, R)
             s = s + rmask + jnp.where(lvalid[:, :, None], 0.0, NEG)

@@ -157,13 +157,16 @@ def _clustered_corpus(n=1600, dim=32, n_clusters=40, seed=7):
     return embs, passages
 
 
-@pytest.mark.parametrize("index_type", ["ivfflat", "ivfsq"])
-def test_ivf_sparse_matches_masked(mesh, index_type):
+@pytest.mark.parametrize("index_type,code_size", [
+    ("ivfflat", None), ("ivfsq", None), ("ivfpq", 8),
+])
+def test_ivf_sparse_matches_masked(mesh, index_type, code_size):
     """Sparse posting-list probing (ops.ivf_sparse, interpret mode on CPU) returns
     the same results as the masked scan at equal nprobe — identical list
     semantics, only the cost model differs."""
     embs, passages = _clustered_corpus()
-    index = DistributedApproxIndex(index_type, mesh=mesh, dtype=jnp.float32, nprobe=4)
+    index = DistributedApproxIndex(index_type, code_size, mesh=mesh,
+                                   dtype=jnp.float32, nprobe=4)
     index.init_embeddings(passages, dim=32)
     index.write_embeddings_rows(0, jnp.asarray(embs))
     index.train_index()
@@ -175,8 +178,18 @@ def test_ivf_sparse_matches_masked(mesh, index_type):
     index.ivf_impl = "masked"
     assert not index._sparse_engaged()
     s2, g2 = index.device_search(q, 8)
-    assert np.array_equal(np.asarray(g1), np.asarray(g2)), (np.asarray(g1), np.asarray(g2))
-    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
+    g1, g2 = np.asarray(g1), np.asarray(g2)
+    s1, s2 = np.asarray(s1), np.asarray(s2)
+    if index.uses_pq:
+        # PQ reconstructions produce genuine score ties (rows sharing codes) and
+        # the ADC kernels round through bf16 — exact id order is not defined at
+        # the boundary; require near-total set overlap and matching score curves
+        for i in range(g1.shape[0]):
+            assert len(set(g1[i]) & set(g2[i])) >= g1.shape[1] - 1, (i, g1[i], g2[i])
+        np.testing.assert_allclose(np.sort(s1, 1), np.sort(s2, 1), rtol=5e-3, atol=5e-3)
+    else:
+        assert np.array_equal(g1, g2), (g1, g2)
+        np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
 
 
 def test_ivf_sparse_recall_and_docs(mesh):
