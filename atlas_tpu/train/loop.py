@@ -137,6 +137,7 @@ def train(
     total = max_steps if max_steps is not None else cfg.total_steps
     batch_placement_checked = False
     while step < total:
+        made_progress = False
         data_iterator = task.data_iterator(
             cfg.train_data, cfg.global_rank, cfg.world_size,
             repeat_if_less_than_world_size=True, opt=cfg,
@@ -148,6 +149,7 @@ def train(
         for batch, pretok in _prefetch_pretokenized(
             data_iterator, atlas, enabled=cfg.host_prefetch
         ):
+            made_progress = True
             iter_stats = {}
             if not cfg.use_file_passages and index_refresh_scheduler.is_time_to_refresh(step):
                 if not (step == 0 and cfg.load_index_path is not None):
@@ -229,6 +231,14 @@ def train(
 
             if step >= total:
                 break
+        if not made_progress:
+            # drop_last=True with fewer examples than the local batch yields no
+            # batches — without this the while-loop spins on empty epochs forever
+            raise ValueError(
+                f"train_data produced no batches at process-local batch size "
+                f"{local_bsz} (per-device {cfg.per_gpu_batch_size} x {ldp} local "
+                f"dp rows); reduce per_gpu_batch_size or provide more examples"
+            )
 
     atlas.reader_params = state.params["reader"]
     atlas.retriever_params = state.params["retriever"]

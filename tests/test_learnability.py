@@ -27,7 +27,9 @@ def test_training_improves_exact_match(devices, tmp_path):
         task="qa", text_maxlength=32, target_maxlength=8, generation_max_length=8,
         n_context=2, retriever_n_context=2, precision="fp32",
         train_retriever=True, total_steps=60, warmup_steps=2, lr=3e-3, lr_retriever=1e-3,
-        scheduler="fixed", per_gpu_batch_size=4, log_freq=1000, eval_freq=1000,
+        # per_gpu_batch_size is PER-DEVICE since the mesh wiring: 1 x dp=4 local
+        # rows = all 4 examples per step (the pre-mesh global-batch-4 intent)
+        scheduler="fixed", per_gpu_batch_size=1, log_freq=1000, eval_freq=1000,
         save_freq=1000, checkpoint_dir=str(tmp_path), name="learn", shuffle=False,
         refresh_index="-1",
     )
