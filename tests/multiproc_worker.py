@@ -111,6 +111,36 @@ def main():
     docs3, _ = index3.search_knn(qemb, 2)
     assert len(docs3) == len(dq) and all(len(r) == 2 for r in docs3)
 
+    # ---- 6. orbax checkpoint with every process participating (the >host-RAM
+    # path: sharded tensorstore writes + the cross-process commit barrier)
+    import dataclasses
+
+    from atlas_tpu.config import AtlasConfig
+    from atlas_tpu.model_io import save_atlas_model
+
+    cfg = AtlasConfig(checkpoint_dir=tmp, name="mp_orbax",
+                      checkpoint_format="orbax", save_optimizer=False)
+    cfg.is_main = pid == 0
+    from jax.sharding import PartitionSpec as PS
+
+    def to_global(tree):
+        return jax.tree.map(
+            lambda x: multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), mesh, PS()), tree)
+
+    atlas.reader_params = to_global(atlas.reader_params)
+    atlas.retriever_params = to_global(atlas.retriever_params)
+    ckdir = os.path.join(tmp, "mp_orbax")
+    save_atlas_model(atlas, None, step=1, cfg=cfg, dir_path=ckdir, name="step-1")
+
+    import orbax.checkpoint as ocp
+
+    raw = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(os.path.join(ckdir, "checkpoint", "step-1", "state.orbax")))
+    want = np.asarray(jax.device_get(atlas.reader_params["shared"]))
+    got = np.asarray(raw["model.reader.shared"])
+    np.testing.assert_array_equal(got, want)
+
     print(f"WORKER{pid} OK", flush=True)
 
 
