@@ -166,6 +166,9 @@ class AtlasConfig:
     # Overlap next-batch query/target tokenization with the device step
     # (train/loop.py:_prefetch_pretokenized). --no-host_prefetch disables.
     host_prefetch: bool = True
+    # Cross-attention KV-cache dtype for generation: "bf16" exact, "int8" halves
+    # the per-token HBM traffic that floors FiD decode latency (models/t5.py).
+    decode_kv_cache: str = "bf16"
     # Checkpoint serialization: "npz" = single rank-0 npz per step dir (reference
     # parity, model_io.py:200-244); "orbax" = sharded tensorstore writes from every
     # process — required for models larger than host RAM.
@@ -206,6 +209,7 @@ class AtlasConfig:
         "multiple_choice_train_permutations": PERMUTATION_TYPES,
         "multiple_choice_eval_permutations": PERMUTATION_TYPES,
         "attn_impl": ["auto", "flash", "xla"],
+        "decode_kv_cache": ["bf16", "int8"],
         "checkpoint_format": ["npz", "orbax"],
     }
     _RUNTIME_FIELDS = {"is_main", "is_distributed", "global_rank", "world_size"}

@@ -110,6 +110,7 @@ def load_reader(cfg: AtlasConfig) -> Tuple[Optional[T5Config], Optional[Dict], A
         dtype=dtype,
         remat=cfg.use_gradient_checkpoint_reader,
         attn_impl=cfg.attn_impl,
+        decode_cache_dtype=getattr(cfg, "decode_kv_cache", "bf16"),
     )
     if cfg.tiny_model:
         import dataclasses

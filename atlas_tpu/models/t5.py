@@ -64,6 +64,10 @@ class T5Config:
     # static weight slices, letting XLA prefetch layer i+1's weights during
     # layer i's compute (the step is dispatch/latency-bound at small batch).
     decode_scan_unroll: int = 1
+    # Cross-attention K/V cache dtype for incremental decoding: "bf16" (exact) or
+    # "int8" (per-key-vector scales; halves the cache HBM traffic that floors the
+    # per-token decode cost at FiD context lengths — see init_decode_cache).
+    decode_cache_dtype: str = "bf16"
 
     @property
     def inner_dim(self) -> int:
@@ -525,15 +529,31 @@ def init_decode_cache(
         num_buckets=cfg.relative_attention_num_buckets,
         max_distance=cfg.relative_attention_max_distance,
     )[0] + jnp.where(tpos[:, None] >= tpos[None, :], 0.0, NEG_INF)[None]  # (H,T,T)
-    return {
-        "cross_k": proj(ca["k"]),
-        "cross_v": proj(ca["v"]),
+    cache = {
         "self_k": jnp.zeros((nL, sb, H, max_len, Dh), dtype=cfg.dtype),
         "self_v": jnp.zeros((nL, sb, H, max_len, Dh), dtype=cfg.dtype),
         "cross_bias": make_attention_bias(encoder_mask),  # (B,1,1,Lk)
         "wqkv": wqkv,
         "self_bias_table": bias_table,
     }
+    ck, cv = proj(ca["k"]), proj(ca["v"])
+    if getattr(cfg, "decode_cache_dtype", "bf16") == "int8":
+        # per-key-vector symmetric int8: k = k_q * ks with ks = max|k| / 127 over
+        # Dh. Exact per-key rescale: q.k = (q.k_q) * ks applied to the score, and
+        # p.v = (p * vs) . v_q folded into the probabilities — the cache read
+        # (the decode bandwidth floor at Lk = N*L) halves.
+        def quant(x):  # (nL, B, H, Lk, Dh) -> int8 codes + (nL, B, H, Lk) scales
+            a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+            s = jnp.maximum(a, 1e-8) / 127.0
+            codes = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
+                             -127, 127).astype(jnp.int8)
+            return codes, s.astype(jnp.float32)
+
+        cache["cross_k"], cache["cross_k_scale"] = quant(ck)
+        cache["cross_v"], cache["cross_v_scale"] = quant(cv)
+    else:
+        cache["cross_k"], cache["cross_v"] = ck, cv
+    return cache
 
 
 def t5_decode_step(
@@ -573,8 +593,14 @@ def t5_decode_step(
         wqkv = jnp.concatenate([sa["q"], sa["k"], sa["v"]], axis=-1)
     inner = cfg.inner_dim
 
+    int8_cache = "cross_k_scale" in cache
+
     def layer(x, xs):
-        lp, sk, sv, ck, cv, wqkv_l = xs
+        if int8_cache:
+            lp, sk, sv, ck, cv, wqkv_l, ks, vs = xs
+        else:
+            lp, sk, sv, ck, cv, wqkv_l = xs
+            ks = vs = None
         h = rms_norm(x, lp["ln1"], cfg.layer_norm_epsilon)
         qkv = h @ wqkv_l  # (B, 1, 3I): one matmul instead of three
         q = _split_heads(qkv[..., :inner], cfg.num_heads)
@@ -586,15 +612,28 @@ def t5_decode_step(
         x = x + _merge_heads(a) @ lp["self_attn"]["o"]
         h = rms_norm(x, lp["ln2"], cfg.layer_norm_epsilon)
         q = _split_heads(h @ lp["cross_attn"]["q"], cfg.num_heads)  # (B,H,1,Dh)
+        kf = ck.astype(q.dtype) if int8_cache else ck  # int8 codes -> compute dtype
+        vf = cv.astype(q.dtype) if int8_cache else cv
         if beam_size > 1:
             rows = B // beam_size
             qb = q.reshape(rows, beam_size, cfg.num_heads, cfg.d_kv)
-            scores = jnp.einsum("rkhd,rhld->rkhl", qb, ck,
+            scores = jnp.einsum("rkhd,rhld->rkhl", qb, kf,
                                 preferred_element_type=jnp.float32)
+            if int8_cache:
+                scores = scores * ks[:, None, :, :]  # (rows,H,Lk) per-key rescale
             scores = scores + cross_bias[:, None, :, 0, :]  # (rows,1,1,Lk) -> bcast
-            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-            ab = jnp.einsum("rkhl,rhld->rkhd", probs, cv)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            if int8_cache:
+                probs = probs * vs[:, None, :, :]  # fold v scales into the probs
+            probs = probs.astype(q.dtype)
+            ab = jnp.einsum("rkhl,rhld->rkhd", probs, vf)
             a = ab.reshape(B, cfg.num_heads, 1, cfg.d_kv)
+        elif int8_cache:
+            scores = jnp.einsum("bhqd,bhld->bhql", q, kf,
+                                preferred_element_type=jnp.float32)
+            scores = scores * ks[:, :, None, :] + cross_bias
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            a = jnp.einsum("bhql,bhld->bhqd", (probs * vs[:, :, None, :]).astype(q.dtype), vf)
         else:
             a = dot_product_attention(q, ck, cv, bias=cross_bias)
         x = x + _merge_heads(a) @ lp["cross_attn"]["o"]
@@ -602,10 +641,12 @@ def t5_decode_step(
         x = x + _ffn_apply(lp["ffn"], h, cfg, True, None)
         return x, (sk, sv)
 
+    xs = (params["decoder"]["layers"], cache["self_k"], cache["self_v"],
+          cache["cross_k"], cache["cross_v"], wqkv)
+    if int8_cache:
+        xs = xs + (cache["cross_k_scale"], cache["cross_v_scale"])
     (x), (new_sk, new_sv) = jax.lax.scan(
-        layer, x,
-        (params["decoder"]["layers"], cache["self_k"], cache["self_v"],
-         cache["cross_k"], cache["cross_v"], wqkv),
+        layer, x, xs,
         unroll=max(1, getattr(cfg, "decode_scan_unroll", 1)),
     )
     x = rms_norm(x, params["decoder"]["final_ln"], cfg.layer_norm_epsilon)

@@ -150,3 +150,31 @@ def test_beam_length_penalty_edges_match_hf(penalty):
     ))
     for b in range(B):
         assert _strip(ours[b]) == _strip(hf[b]), (b, penalty, ours[b], hf[b])
+
+
+def test_int8_cross_cache_greedy_parity():
+    """--decode_kv_cache int8: per-key-scale quantized cross K/V must reproduce
+    the bf16-cache generations on the tiny model (the quantization error is far
+    below the logit margins at every step here; real models accept ~1e-2 logit
+    noise for half the decode bandwidth floor)."""
+    import dataclasses
+
+    _, cfg, params = _tiny()
+    rng = np.random.RandomState(11)
+    B, L, MAX = 2, 8, 12
+    ids = rng.randint(2, VOCAB, (B, L))
+    mask = np.ones((B, L), dtype=np.int64)
+    base = np.asarray(greedy_generate(
+        params, cfg, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]), max_length=MAX))
+    cfg8 = dataclasses.replace(cfg, decode_cache_dtype="int8")
+    q8 = np.asarray(greedy_generate(
+        params, cfg8, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]), max_length=MAX))
+    assert np.array_equal(base, q8), (base, q8)
+
+    hf_beam = np.asarray(beam_generate(
+        params, cfg, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]),
+        max_length=MAX, num_beams=3))
+    q8_beam = np.asarray(beam_generate(
+        params, cfg8, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]),
+        max_length=MAX, num_beams=3))
+    assert np.array_equal(hf_beam, q8_beam), (hf_beam, q8_beam)
