@@ -169,6 +169,9 @@ class AtlasConfig:
     # Cross-attention KV-cache dtype for generation: "bf16" exact, "int8" halves
     # the per-token HBM traffic that floors FiD decode latency (models/t5.py).
     decode_kv_cache: str = "bf16"
+    # Gradient-checkpoint recompute policy: "full" (lowest memory) or "dots"
+    # (save matmul outputs, recompute elementwise — ~3% faster step on v5e).
+    remat_policy: str = "full"
     # Checkpoint serialization: "npz" = single rank-0 npz per step dir (reference
     # parity, model_io.py:200-244); "orbax" = sharded tensorstore writes from every
     # process — required for models larger than host RAM.
@@ -210,6 +213,7 @@ class AtlasConfig:
         "multiple_choice_eval_permutations": PERMUTATION_TYPES,
         "attn_impl": ["auto", "flash", "xla"],
         "decode_kv_cache": ["bf16", "int8"],
+        "remat_policy": ["full", "dots"],
         "checkpoint_format": ["npz", "orbax"],
     }
     _RUNTIME_FIELDS = {"is_main", "is_distributed", "global_rank", "world_size"}

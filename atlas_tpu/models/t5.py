@@ -57,6 +57,10 @@ class T5Config:
     pad_token_id: int = 0
     dtype: Any = jnp.float32  # activation dtype
     remat: bool = False  # jax.checkpoint each layer block
+    # remat policy: "full" recomputes everything (lowest memory); "dots" saves
+    # matmul outputs and recomputes only elementwise ops (~3% faster step on v5e
+    # at more live memory — jax.checkpoint_policies.dots_with_no_batch_dims)
+    remat_policy: str = "full"
     # "auto": Pallas flash attention on TPU for the hot shapes, XLA fallback elsewhere;
     # "flash": always (interpret-mode on CPU — tests only); "xla": never.
     attn_impl: str = "auto"
@@ -254,6 +258,13 @@ def _dropout(x, rate, deterministic, rng):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
+def _ckpt(fn, cfg: T5Config):
+    if getattr(cfg, "remat_policy", "full") == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return jax.checkpoint(fn)
+
+
 def _ffn_apply(ffn, x, cfg: T5Config, deterministic, rng):
     if cfg.feed_forward_proj == "gated-gelu":
         h = jax.nn.gelu(x @ ffn["wi_0"], approximate=True) * (x @ ffn["wi_1"])
@@ -363,7 +374,7 @@ def t5_encode(
         return (x, rng), None
 
     if cfg.remat:
-        layer = jax.checkpoint(layer)
+        layer = _ckpt(layer, cfg)
     (x, _), _ = jax.lax.scan(layer, (x, rng), params["encoder"]["layers"])
 
     x = rms_norm(x, params["encoder"]["final_ln"], cfg.layer_norm_epsilon)
@@ -441,7 +452,7 @@ def t5_decode(
         return (x, rng), stats
 
     if cfg.remat:
-        layer = jax.checkpoint(layer)
+        layer = _ckpt(layer, cfg)
     (x, _), stats = jax.lax.scan(layer, (x, rng), params["decoder"]["layers"])
 
     x = rms_norm(x, params["decoder"]["final_ln"], cfg.layer_norm_epsilon)
