@@ -31,6 +31,36 @@ def _local_batch_size(cfg, atlas):
     return cfg.per_gpu_batch_size * local_dp_size(atlas.mesh)
 
 
+def _prefetch_tokenized(batches, atlas, enabled=True):
+    """Yield (batch, (query_enc, labels, decoder_input_ids)) with the NEXT batch's
+    query/target tokenization on a worker thread while the device evaluates the
+    current one (same overlap as train/loop.py; eval params are fixed, but
+    retrieval still runs in batch order so the sharded-search collectives stay in
+    lockstep across ranks)."""
+    if not enabled:
+        for b in batches:
+            yield b, atlas.tokenize(b.get("query", [""]), b.get("target", [""]),
+                                    target_tokens=b.get("target_tokens"))
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1, thread_name_prefix="eval-pretok")
+    pending = None
+    try:
+        for b in batches:
+            fut = ex.submit(atlas.tokenize, b.get("query", [""]), b.get("target", [""]),
+                            b.get("target_tokens"))
+            if pending is not None:
+                pb, pf = pending
+                yield pb, pf.result()
+            pending = (b, fut)
+        if pending is not None:
+            pb, pf = pending
+            yield pb, pf.result()
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
+
+
 def _get_eval_data_iterator(cfg, data_path, task, batch_size=None):
     data_iterator = task.data_iterator(data_path, cfg.global_rank, cfg.world_size,
                                        opt=cfg, is_eval=True)
@@ -87,13 +117,13 @@ def evaluate(atlas, index, cfg, data_path, step=None):
     task = get_task(cfg, atlas.reader_tokenizer)
     data_iterator = _get_eval_data_iterator(cfg, data_path, task, _local_batch_size(cfg, atlas))
 
-    for batch in data_iterator:
+    for batch, (query_enc, labels, decoder_input_ids) in _prefetch_tokenized(
+        data_iterator, atlas, enabled=getattr(cfg, "host_prefetch", True)
+    ):
         query = batch.get("query", [""])
         answers = batch.get("target", [""])
         batch_metadata = batch.get("metadata")
-        target_tokens = batch.get("target_tokens")
         is_padding_batch = (len(query) == 0) or (len(query[0]) == 0)
-        query_enc, labels, decoder_input_ids = atlas.tokenize(query, answers, target_tokens=target_tokens)
         if not cfg.use_file_passages:
             # padding ranks still run the retrieval (it participates in the
             # sharded-search collective like the reference's all_gather protocol)
