@@ -74,7 +74,16 @@ def build_args(passed_args: List[str]) -> List[str]:
 
 
 if __name__ == "__main__":
-    sys.argv = [sys.argv[0]] + build_args(sys.argv[1:])
+    passed = sys.argv[1:]
+    if "--help" in passed or "-h" in passed or "--total_steps" not in passed:
+        # let the real parser print help / the missing-flag error
+        # (the reference wires its defaults through the parser, finetune_qa.py:58-122,
+        # so --help works there; match that ergonomics)
+        if "--total_steps" not in passed and "--help" not in passed and "-h" not in passed:
+            sys.stderr.write("finetune_qa.py requires --total_steps\n")
+            sys.exit(2)
+    else:
+        sys.argv = [sys.argv[0]] + build_args(passed)
     import train
 
     train.main()
