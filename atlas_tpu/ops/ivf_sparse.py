@@ -24,9 +24,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-R = 256  # rows per block; clusters pad to multiples of R. Larger blocks amortize
-# the ~0.5us per-grid-step cost (measured: the kernel is step-bound, not
-# DMA-bound, at 1M x 768) at the price of more per-cluster padding.
+R = 512  # rows per block; clusters pad to multiples of R. Larger blocks amortize
+# the ~0.6us per-grid-step cost at the price of more per-cluster padding
+# (measured at 1M x 768, nprobe=16, B=8: R=256 -> 2.80ms, 512 -> 2.48ms,
+# 1024 -> 2.45ms, 2048 -> 2.94ms; 512 also wins at nprobe=64).
 
 
 def _kernel(ids_ref, q_ref, x_ref, o_ref):
