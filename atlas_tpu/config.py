@@ -169,6 +169,11 @@ class AtlasConfig:
     # Cross-attention KV-cache dtype for generation: "bf16" exact, "int8" halves
     # the per-token HBM traffic that floors FiD decode latency (models/t5.py).
     decode_kv_cache: str = "bf16"
+    # Decode-step weight streaming via the Pallas kernels in ops/decode_matmul.py:
+    # "auto" = the measured-winning subset on TPU (models/t5.py _AUTO_PARTS),
+    # "on"/"off" = everything/nothing, or a comma-set of {lm,ffn,qkv,proj} to
+    # stream just those matmuls (lm_head / fused FFN / fused qkv / o+cross-q).
+    decode_stream: str = "auto"
     # Gradient-checkpoint recompute policy: "full" (lowest memory) or "dots"
     # (save matmul outputs, recompute elementwise — ~3% faster step on v5e).
     remat_policy: str = "full"

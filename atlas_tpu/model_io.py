@@ -111,6 +111,7 @@ def load_reader(cfg: AtlasConfig) -> Tuple[Optional[T5Config], Optional[Dict], A
         remat=cfg.use_gradient_checkpoint_reader,
         attn_impl=cfg.attn_impl,
         decode_cache_dtype=getattr(cfg, "decode_kv_cache", "bf16"),
+        decode_stream=getattr(cfg, "decode_stream", "auto"),
         remat_policy=getattr(cfg, "remat_policy", "full"),
     )
     if cfg.tiny_model:

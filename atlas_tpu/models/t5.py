@@ -33,6 +33,11 @@ from atlas_tpu.ops.attention import (
     make_attention_bias,
     make_causal_bias,
 )
+from atlas_tpu.ops.decode_matmul import (
+    stream_ffn_stacked,
+    stream_matmul,
+    stream_matmul_stacked,
+)
 from atlas_tpu.ops.flash import flash_attention
 
 IGNORE_INDEX = -100
@@ -72,6 +77,10 @@ class T5Config:
     # "int8" (per-key-vector scales; halves the cache HBM traffic that floors the
     # per-token decode cost at FiD context lengths — see init_decode_cache).
     decode_cache_dtype: str = "bf16"
+    # "auto": route the decode step's weight matmuls (qkv/o/cross/FFN/lm_head)
+    # through the streaming Pallas kernels (ops/decode_matmul.py) on TPU, where
+    # XLA's small-M matmuls run far under HBM bandwidth; "on"/"off" force it.
+    decode_stream: str = "auto"
 
     @property
     def inner_dim(self) -> int:
@@ -567,6 +576,33 @@ def init_decode_cache(
     return cache
 
 
+_STREAM_PARTS = frozenset(("lm", "ffn", "qkv", "proj"))
+# Measured on v5e (t5-base FiD greedy, B=8, N=20, L=256, int8 cache, ms/gen of 32
+# tokens): off 223.7, lm 223.5, ffn 228.6, qkv 225.4, proj 224.4, all-on 263.5
+# (bf16 cache). NO part wins: XLA already overlaps the decode step's weight
+# streams with compute, so the step is critical-path/dispatch-bound and each
+# pallas_call adds fixed launch cost (~13us) without buying bandwidth. The
+# kernels stay available as a tuning surface for other chips/shapes; "auto"
+# therefore streams nothing.
+_AUTO_PARTS = frozenset()
+
+
+def _decode_stream_parts(cfg: T5Config) -> frozenset:
+    """decode_stream = "auto" | "on" | "off" | comma-set of {lm,ffn,qkv,proj}."""
+    mode = getattr(cfg, "decode_stream", "auto")
+    if mode == "on":
+        return _STREAM_PARTS
+    if mode == "off":
+        return frozenset()
+    if mode == "auto":
+        return _AUTO_PARTS if jax.default_backend() == "tpu" else frozenset()
+    parts = frozenset(p.strip() for p in mode.split(",") if p.strip())
+    unknown = parts - _STREAM_PARTS
+    if unknown:
+        raise ValueError(f"decode_stream: unknown parts {sorted(unknown)}")
+    return parts
+
+
 def t5_decode_step(
     params, cfg: T5Config, tokens: jnp.ndarray, pos: jnp.ndarray,
     cache: Dict[str, jnp.ndarray], beam_size: int = 1,
@@ -578,6 +614,12 @@ def t5_decode_step(
     the cross K/V cache stays UNREPLICATED at `rows` — beams of a row share their
     encoder states, so the cross attention contracts (rows, K, H, d) against
     (rows, H, Lk, d) directly instead of copying the multi-GB cross cache K times.
+
+    Matmuls named in _decode_stream_parts go through the streaming Pallas kernels:
+    for those, the layer scan carries only the LAYER INDEX and the kernel reads the
+    full stacked weight array by scalar-prefetched index — slicing weights into
+    scan xs would materialize an HBM copy per layer in front of each opaque kernel
+    call.
     """
     B = tokens.shape[0]
     Tmax = cache["self_k"].shape[3]
@@ -605,24 +647,40 @@ def t5_decode_step(
     inner = cfg.inner_dim
 
     int8_cache = "cross_k_scale" in cache
+    parts = _decode_stream_parts(cfg)
+    s_lm, s_ffn = "lm" in parts, "ffn" in parts
+    s_qkv, s_proj = "qkv" in parts, "proj" in parts
+    layers = params["decoder"]["layers"]
+    gated = cfg.feed_forward_proj == "gated-gelu"
 
     def layer(x, xs):
         if int8_cache:
-            lp, sk, sv, ck, cv, wqkv_l, ks, vs = xs
+            idx, lp, sk, sv, ck, cv, ks, vs = xs
         else:
-            lp, sk, sv, ck, cv, wqkv_l = xs
+            idx, lp, sk, sv, ck, cv = xs
             ks = vs = None
         h = rms_norm(x, lp["ln1"], cfg.layer_norm_epsilon)
-        qkv = h @ wqkv_l  # (B, 1, 3I): one matmul instead of three
+        if s_qkv:
+            qkv = stream_matmul_stacked(h[:, 0], wqkv, idx)[:, None]
+        else:
+            qkv = h @ lp["wqkv"]  # (B, 1, 3I): one matmul instead of three
         q = _split_heads(qkv[..., :inner], cfg.num_heads)
         new_k = _split_heads(qkv[..., inner : 2 * inner], cfg.num_heads)  # (B,H,1,Dh)
         new_v = _split_heads(qkv[..., 2 * inner :], cfg.num_heads)
         sk = jax.lax.dynamic_update_slice(sk, new_k.astype(sk.dtype), (0, 0, pos, 0))
         sv = jax.lax.dynamic_update_slice(sv, new_v.astype(sv.dtype), (0, 0, pos, 0))
         a = dot_product_attention(q, sk, sv, bias=self_bias)
-        x = x + _merge_heads(a) @ lp["self_attn"]["o"]
+        am = _merge_heads(a)
+        if s_proj:
+            x = x + stream_matmul_stacked(am[:, 0], layers["self_attn"]["o"], idx)[:, None]
+        else:
+            x = x + am @ lp["self_o"]
         h = rms_norm(x, lp["ln2"], cfg.layer_norm_epsilon)
-        q = _split_heads(h @ lp["cross_attn"]["q"], cfg.num_heads)  # (B,H,1,Dh)
+        if s_proj:
+            cq = stream_matmul_stacked(h[:, 0], layers["cross_attn"]["q"], idx)[:, None]
+        else:
+            cq = h @ lp["cross_q"]
+        q = _split_heads(cq, cfg.num_heads)  # (B,H,1,Dh)
         kf = ck.astype(q.dtype) if int8_cache else ck  # int8 codes -> compute dtype
         vf = cv.astype(q.dtype) if int8_cache else cv
         if beam_size > 1:
@@ -647,13 +705,40 @@ def t5_decode_step(
             a = jnp.einsum("bhql,bhld->bhqd", (probs * vs[:, :, None, :]).astype(q.dtype), vf)
         else:
             a = dot_product_attention(q, ck, cv, bias=cross_bias)
-        x = x + _merge_heads(a) @ lp["cross_attn"]["o"]
+        am = _merge_heads(a)
+        if s_proj:
+            x = x + stream_matmul_stacked(am[:, 0], layers["cross_attn"]["o"], idx)[:, None]
+        else:
+            x = x + am @ lp["cross_o"]
         h = rms_norm(x, lp["ln3"], cfg.layer_norm_epsilon)
-        x = x + _ffn_apply(lp["ffn"], h, cfg, True, None)
+        if s_ffn:
+            if gated:
+                f = stream_ffn_stacked(
+                    h[:, 0], layers["ffn"]["wi_0"], layers["ffn"]["wo"], idx,
+                    wi1=layers["ffn"]["wi_1"], gated=True,
+                )
+            else:
+                f = stream_ffn_stacked(h[:, 0], layers["ffn"]["wi"], layers["ffn"]["wo"], idx)
+            x = x + f[:, None]
+        else:
+            x = x + _ffn_apply(lp["ffn"], h, cfg, True, None)
         return x, (sk, sv)
 
-    xs = (params["decoder"]["layers"], cache["self_k"], cache["self_v"],
-          cache["cross_k"], cache["cross_v"], wqkv)
+    # xs carries ONLY what the XLA ops consume per layer: weights routed through a
+    # streaming kernel are read from the full stacked arrays by prefetched index
+    # (a sliced scan input feeding an opaque pallas_call would be copied per layer)
+    nL = layers["ln1"].shape[0]
+    lp_xs = {k: layers[k] for k in ("ln1", "ln2", "ln3")}
+    if not s_qkv:
+        lp_xs["wqkv"] = wqkv
+    if not s_proj:
+        lp_xs["self_o"] = layers["self_attn"]["o"]
+        lp_xs["cross_q"] = layers["cross_attn"]["q"]
+        lp_xs["cross_o"] = layers["cross_attn"]["o"]
+    if not s_ffn:
+        lp_xs["ffn"] = layers["ffn"]
+    xs = (jnp.arange(nL, dtype=jnp.int32), lp_xs, cache["self_k"],
+          cache["self_v"], cache["cross_k"], cache["cross_v"])
     if int8_cache:
         xs = xs + (cache["cross_k_scale"], cache["cross_v_scale"])
     (x), (new_sk, new_sv) = jax.lax.scan(
@@ -661,7 +746,18 @@ def t5_decode_step(
         unroll=max(1, getattr(cfg, "decode_scan_unroll", 1)),
     )
     x = rms_norm(x, params["decoder"]["final_ln"], cfg.layer_norm_epsilon)
-    logits = _lm_logits(params, cfg, x)[:, 0]  # (B, V)
+    if s_lm:
+        x2 = x[:, 0]
+        if cfg.tie_word_embeddings:
+            logits = stream_matmul(
+                x2 * (cfg.d_model**-0.5), params["shared"].astype(x2.dtype),
+                transpose_w=True, out_dtype=jnp.float32,
+            )
+        else:
+            logits = stream_matmul(
+                x2, params["lm_head"].astype(x2.dtype), out_dtype=jnp.float32)
+    else:
+        logits = _lm_logits(params, cfg, x)[:, 0]  # (B, V)
     cache = dict(cache, self_k=new_sk, self_v=new_sv)
     return logits, cache
 

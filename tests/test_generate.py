@@ -178,3 +178,67 @@ def test_int8_cross_cache_greedy_parity():
         params, cfg8, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]),
         max_length=MAX, num_beams=3))
     assert np.array_equal(hf_beam, q8_beam), (hf_beam, q8_beam)
+
+
+def test_decode_stream_parity():
+    """--decode_stream on: the Pallas streaming weight-matmul decode path must
+    reproduce the XLA path's generations exactly (same bf16/fp32 accumulation
+    contract; only the d_ff block-summation order differs, far below logit
+    margins on the tiny model). Covers greedy, beam, and the int8-cache combo."""
+    import dataclasses
+
+    _, cfg, params = _tiny()
+    rng = np.random.RandomState(12)
+    B, L, MAX = 2, 8, 12
+    ids = rng.randint(2, VOCAB, (B, L))
+    mask = np.ones((B, L), dtype=np.int64)
+    base = np.asarray(greedy_generate(
+        params, cfg, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]), max_length=MAX))
+    cfg_s = dataclasses.replace(cfg, decode_stream="on")
+    got = np.asarray(greedy_generate(
+        params, cfg_s, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]), max_length=MAX))
+    assert np.array_equal(base, got), (base, got)
+
+    base_beam = np.asarray(beam_generate(
+        params, cfg, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]),
+        max_length=MAX, num_beams=3))
+    got_beam = np.asarray(beam_generate(
+        params, cfg_s, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]),
+        max_length=MAX, num_beams=3))
+    assert np.array_equal(base_beam, got_beam), (base_beam, got_beam)
+
+    cfg_s8 = dataclasses.replace(cfg_s, decode_cache_dtype="int8")
+    got8 = np.asarray(greedy_generate(
+        params, cfg_s8, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]), max_length=MAX))
+    assert np.array_equal(base, got8), (base, got8)
+
+
+def test_decode_stream_parity_tied_relu():
+    """Tied-embedding + relu FFN (original t5-*) exercises the transpose_w lm_head
+    stream and the relu fused-FFN kernel."""
+    import dataclasses
+
+    from transformers import T5Config as HFT5Config, T5ForConditionalGeneration
+
+    from atlas_tpu.models.hf_import import t5_config_from_hf, t5_params_from_state_dict
+
+    hf_cfg = HFT5Config(
+        vocab_size=VOCAB, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout_rate=0.0,
+        feed_forward_proj="relu", tie_word_embeddings=True,
+        decoder_start_token_id=0, pad_token_id=0, eos_token_id=1,
+    )
+    torch.manual_seed(7)
+    model = T5ForConditionalGeneration(hf_cfg).eval()
+    cfg = t5_config_from_hf(hf_cfg)
+    params = t5_params_from_state_dict(model.state_dict(), cfg)
+    rng = np.random.RandomState(13)
+    ids = rng.randint(2, VOCAB, (2, 8))
+    mask = np.ones((2, 8), dtype=np.int64)
+    base = np.asarray(greedy_generate(
+        params, cfg, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]), max_length=12))
+    cfg_s = dataclasses.replace(cfg, decode_stream="on")
+    got = np.asarray(greedy_generate(
+        params, cfg_s, jnp.asarray(ids[:, None]), jnp.asarray(mask[:, None]), max_length=12))
+    assert np.array_equal(base, got), (base, got)
