@@ -29,60 +29,83 @@ R = 512  # rows per block; clusters pad to multiples of R. Larger blocks amortiz
 # (measured at 1M x 768, nprobe=16, B=8: R=256 -> 2.80ms, 512 -> 2.48ms,
 # 1024 -> 2.45ms, 2048 -> 2.94ms; 512 also wins at nprobe=64).
 
-
-def _kernel(ids_ref, q_ref, x_ref, o_ref):
-    # q block (1, 8, D): queries arrive sublane-replicated x8 because TPU blocks
-    # need an 8-aligned sublane dim and Mosaic cannot prove a dynamic single-row
-    # load aligned; row 0 is a static read. x (1, R, D) -> scores (1, 1, 1, R)
-    q = q_ref[0, 0:1, :].astype(jnp.float32)  # (1, D)
-    x = x_ref[0].astype(jnp.float32)
-    # VPU multiply-reduce, not an MXU dot: the (R, D)x(D, 1) matvec is DMA-bound
-    # (196KB block read per ~0.1MFLOP), and Mosaic's mixed-dtype matvec lowering
-    # miscompiles (vector.broadcast bf16->f32 verifier error), so cast explicitly
-    s = jnp.sum(x * q, axis=1)  # (R,)
-    o_ref[0, 0, 0, :] = s
+C = 1  # blocks fetched per grid step: the same x_blocks operand is bound C times
+# with index maps ids[b, l*C+c], so Mosaic keeps C block DMAs in flight per step.
+# Measured on v5e (1M x 768, B=8, R=512, masked-vs-sparse bench shapes): at the
+# nprobe=16 serving point C=2 REGRESSES (4.98 -> 8.28ms; C=4 7.92ms) — the wider
+# (1, C*R) output block and duplicate operand bindings cost more than the saved
+# grid steps — while at nprobe=64 C=2 wins (13.70 -> 10.95ms), where the longer
+# list keeps the deeper pipeline fed. Default 1; blocks_per_step stays a knob
+# for high-nprobe configurations.
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _make_kernel(n_blocks: int):
+    def kernel(ids_ref, q_ref, *refs):
+        # q block (1, 8, D): queries arrive sublane-replicated x8 because TPU
+        # blocks need an 8-aligned sublane dim and Mosaic cannot prove a dynamic
+        # single-row load aligned; row 0 is a static read. Each x ref is one
+        # (1, R, D) listed block -> scores (1, 1, C, R)
+        o_ref = refs[-1]
+        q = q_ref[0, 0:1, :].astype(jnp.float32)  # (1, D)
+        for c in range(n_blocks):
+            x = refs[c][0].astype(jnp.float32)
+            # VPU multiply-reduce, not an MXU dot: the (R, D)x(D, 1) matvec is
+            # DMA-bound (196KB block read per ~0.1MFLOP), and Mosaic's mixed-dtype
+            # matvec lowering miscompiles (vector.broadcast bf16->f32 verifier
+            # error), so cast explicitly
+            o_ref[0, 0, c, :] = jnp.sum(x * q, axis=1)  # (R,)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "blocks_per_step"))
 def ivf_sparse_scores(
     queries: jnp.ndarray,  # (B, D) — pre-scaled for SQ modes
     x_blocks: jnp.ndarray,  # (NB, R, D) cluster-sorted row blocks
     ids: jnp.ndarray,  # (B, L) int32 block indices into x_blocks (dupes allowed)
     interpret=None,
+    blocks_per_step: int = C,
 ) -> jnp.ndarray:
     """-> (B, L, R) fp32 inner products q . x for every row of every listed block.
 
     Validity (padded rows inside blocks, padded entries in the block list) is the
-    caller's to mask — the kernel is a pure gather-and-score.
+    caller's to mask — the kernel is a pure gather-and-score. The list is padded
+    internally to a multiple of blocks_per_step with block 0 (scores discarded).
     """
     B, D = queries.shape
     NB, r, _ = x_blocks.shape
-    assert r % 128 == 0, r  # lane-dim alignment of the (1,1,1,r) output block
+    assert r % 128 == 0, r  # lane-dim alignment of the (1,1,C,r) output block
     L = ids.shape[1]
+    c = max(1, min(blocks_per_step, L))
+    Lp = -(-L // c) * c
+    if Lp != L:
+        ids = jnp.pad(ids, ((0, 0), (0, Lp - L)))
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    def x_spec(ci):
+        return pl.BlockSpec((1, r, D), lambda b, l, ids, ci=ci: (ids[b, l * c + ci], 0, 0))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, L),
-        in_specs=[
-            pl.BlockSpec((1, 8, D), lambda b, l, ids: (b, 0, 0)),
-            pl.BlockSpec((1, r, D), lambda b, l, ids: (ids[b, l], 0, 0)),
-        ],
-        # (B, L, 1, R) so the block's trailing (1, R) EQUALS the array's trailing
-        # dims — TPU blocks must be (8, 128)-aligned or whole-dim
-        out_specs=pl.BlockSpec((1, 1, 1, r), lambda b, l, ids: (b, l, 0, 0)),
+        grid=(B, Lp // c),
+        in_specs=[pl.BlockSpec((1, 8, D), lambda b, l, ids: (b, 0, 0))]
+        + [x_spec(ci) for ci in range(c)],
+        # (B, Lp//c, c, R) so the block's trailing (c, R) EQUALS the array's
+        # trailing dims — TPU blocks must be (8, 128)-aligned or whole-dim
+        out_specs=pl.BlockSpec((1, 1, c, r), lambda b, l, ids: (b, l, 0, 0)),
     )
     out = pl.pallas_call(
-        _kernel,
+        _make_kernel(c),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, L, 1, r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Lp // c, c, r), jnp.float32),
         interpret=bool(interpret),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * L * r * D,
-            bytes_accessed=B * L * r * D * x_blocks.dtype.itemsize,
+            flops=2 * B * Lp * r * D,
+            bytes_accessed=B * Lp * r * D * x_blocks.dtype.itemsize,
             transcendentals=0,
         ),
     )(ids.astype(jnp.int32),
-      jnp.broadcast_to(queries[:, None, :], (B, 8, D)), x_blocks)
-    return out.reshape(B, L, r)
+      jnp.broadcast_to(queries[:, None, :], (B, 8, D)),
+      *([x_blocks] * c))
+    return out.reshape(B, Lp, r)[:, :L]

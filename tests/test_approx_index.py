@@ -192,6 +192,24 @@ def test_ivf_sparse_matches_masked(mesh, index_type, code_size):
         np.testing.assert_allclose(s1, s2, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("bps", [2, 4])
+def test_ivf_sparse_multiblock_matches_single(bps):
+    """blocks_per_step > 1 (the high-nprobe tuning knob) scores identically to the
+    default single-block grid, including when the list length is not a multiple of
+    blocks_per_step (internal padding with block 0, scores discarded)."""
+    from atlas_tpu.ops.ivf_sparse import ivf_sparse_scores
+
+    rng = np.random.RandomState(3)
+    NB, R, D, B, L = 6, 128, 32, 2, 5  # L=5 indivisible by 2 and 4
+    x = jnp.asarray(rng.randn(NB, R, D).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, D).astype(np.float32))
+    ids = jnp.asarray(rng.randint(0, NB, (B, L)), jnp.int32)
+    base = ivf_sparse_scores(q, x, ids, interpret=True, blocks_per_step=1)
+    multi = ivf_sparse_scores(q, x, ids, interpret=True, blocks_per_step=bps)
+    assert base.shape == multi.shape == (B, L, R)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(multi), rtol=1e-6, atol=1e-6)
+
+
 def test_ivf_sparse_recall_and_docs(mesh):
     """End-to-end search_knn through the sparse path: nprobe=8 of nlist=40 still
     finds the true neighbors on clustered data (self-query -> self top-1)."""
