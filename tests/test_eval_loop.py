@@ -64,6 +64,30 @@ def test_retrieve_only_end_to_end(setup):
     assert len(rows[0]["passages"]) == cfg.n_context
 
 
+def test_evaluate_from_prebuilt_index(setup, tmp_path):
+    """The --load_index_path CLI route (index/io.py:68-73, the prebuilt-index
+    recipe of example_scripts/nq/train_fewshot.sh): save the built index, reload
+    it through load_or_initialize_index, and evaluation must be identical."""
+    import dataclasses
+
+    from atlas_tpu.index.io import load_or_initialize_index, save_embeddings_and_index
+
+    atlas, index, cfg, data_path, tmp = setup
+    base = evaluate(atlas, index, cfg, data_path, step=3)
+
+    save_cfg = dataclasses.replace(cfg, save_index_path=str(tmp_path / "idx"),
+                                   save_index_n_shards=4)
+    save_embeddings_and_index(index, save_cfg)
+    load_cfg = dataclasses.replace(cfg, load_index_path=str(tmp_path / "idx"),
+                                   save_index_n_shards=4, name="loadtest")
+    index2, passages = load_or_initialize_index(load_cfg, mesh=index.mesh,
+                                                dim=atlas.retriever_cfg.hidden_size)
+    assert len(passages) == index.n_total
+    got = evaluate(atlas, index2, load_cfg, data_path, step=3)
+    assert got["exact_match"] == base["exact_match"]
+    assert np.isclose(got["eval_loss"], base["eval_loss"], rtol=1e-5)
+
+
 def test_evaluate_multiple_choice_postprocessing(setup, tmp_path):
     atlas, index, cfg, _, tmp = setup
     import dataclasses
