@@ -49,6 +49,7 @@ class DistributedApproxIndex(DistributedIndex):
         # codes feed the MXU directly (see _build_search)
         self.sq_bits = 8 if index_type == "sq8" else 4
         self.adc_impl = "auto"  # "auto" | "pallas" (ops.pq_adc kernel) | "xla"
+        self.sq8_impl = "auto"  # "auto" | "pallas" (ops.pallas_mips byte stream) | "xla"
         self.scan_chunk = 131072  # rows per lax.scan step in the masked scan
         # IVF probing: 0 = reference default nprobe = nlist = floor(sqrt(N))
         # (index.py:212), where the masked scan costs the same as faiss's full
@@ -383,12 +384,40 @@ class DistributedApproxIndex(DistributedIndex):
         quant = self.quant
         score_chunk = self._make_chunk_scorer()
         recall_target = self.recall_target
+        # sq8 alternative path: stream the uint8 codes through the fused Pallas
+        # MIPS kernel (ops/pallas_mips.py) instead of the chunked cast-and-matmul
+        # scan; the folded-affine trick keeps ranking exact (per-query constant
+        # added after selection). Measured at 1M x 768 B=64 on v5e: 4.9ms — the
+        # in-VMEM u8->i32->bf16 cast costs more than the byte-stream DMA saves,
+        # so the XLA scan (3.1ms) stays the default on every backend.
+        impl = self.sq8_impl
+        if impl == "auto":
+            impl = "xla"
+        sq8_pallas = self.index_type == "sq8" and impl == "pallas"
+        interp = jax.default_backend() != "tpu"
+        dtype = self.dtype
 
         def local_search(queries, emb_shard, codes_shard, cluster_shard):
             dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
             n_valid_dev = self._shard_valid_rows(dev)
             B = queries.shape[0]
             qf = queries.astype(jnp.float32)
+            if sq8_pallas:
+                from atlas_tpu.ops.pallas_mips import mips_topk_pallas
+
+                q_eff = (qf * quant["sq_scale"]).astype(dtype)
+                const = qf @ (quant["sq_vmin"] + 0.5 * quant["sq_scale"])  # (B,)
+                vals, idx = mips_topk_pallas(q_eff, codes_shard, k_local,
+                                             n_valid=n_valid_dev, interpret=interp)
+                vals = vals + const[:, None]
+                gidx = (dev * shard_rows + idx).astype(jnp.int32)
+                vals_all = jax.lax.all_gather(vals, ("dp", "mp"))
+                gidx_all = jax.lax.all_gather(gidx, ("dp", "mp"))
+                kk = vals.shape[1]
+                vals_all = vals_all.transpose(1, 0, 2).reshape(B, n_dev * kk)
+                gidx_all = gidx_all.transpose(1, 0, 2).reshape(B, n_dev * kk)
+                mvals, mpos = jax.lax.top_k(vals_all, topk)
+                return mvals, jnp.take_along_axis(gidx_all, mpos, axis=1)
             if uses_ivf:
                 cents = quant["centroids"]
                 # probe by the ASSIGNMENT metric (argmax x.c - |c|^2/2, the

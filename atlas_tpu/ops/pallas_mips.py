@@ -60,8 +60,22 @@ def _mips_kernel(q_ref, e_hbm, vals_ref, idx_ref, buf, sems):
         if nxt < N_SUB:
             dma(nxt % SLOTS, nxt).start()
         dma(slot, sub).wait()
+        e = buf[slot]
+        if e.dtype == jnp.uint8:
+            # uint8 SQ codes: DMA'd at 1 byte/element (half the HBM traffic of
+            # bf16), re-biased to int8 IN REGISTER (xor 0x80 = subtract 128 in
+            # two's complement) for the mixed-dtype MXU dot. The +128 offset is
+            # a per-query constant, restored on the selected winners in the
+            # wrapper (order-invariant within a query). Measured at 1M x 768
+            # B=64 on v5e: 4.85ms (a VPU u8->i32->bf16 widen: 4.94ms) vs 3.82ms
+            # for the bf16 corpus — the sub-word operand's lowering costs more
+            # than the byte-stream DMA saves, so the XLA sq8 scan stays the
+            # production default (index/approx.py sq8_impl).
+            e = (e ^ 0x80).view(jnp.int8)
+        elif e.dtype != q.dtype:
+            e = e.astype(q.dtype)
         s = jax.lax.dot_general(
-            q, buf[slot],
+            q, e,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (B, SUB_TILE)
@@ -96,7 +110,9 @@ def mips_topk_pallas(
         N = N + pad
     n_major = N // MAJOR
     n_win = N // LANES
-    q = queries.astype(embeddings.dtype)
+    # integer corpora (sq8 codes) keep the query in the caller's compute dtype;
+    # the kernel casts each streamed block to match instead
+    q = queries if jnp.issubdtype(embeddings.dtype, jnp.integer) else queries.astype(embeddings.dtype)
 
     vals, idx = pl.pallas_call(
         _mips_kernel,
@@ -127,4 +143,7 @@ def mips_topk_pallas(
     k = min(k, n_win)
     top_vals, pos = jax.lax.top_k(vals, k)
     top_idx = jnp.take_along_axis(idx, pos, axis=1)
+    if jnp.issubdtype(embeddings.dtype, jnp.integer):
+        # restore the uint8 re-bias: q . c_u8 = q . (c_u8 - 128) + 128 * sum(q)
+        top_vals = top_vals + 128.0 * jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
     return top_vals, top_idx

@@ -72,6 +72,23 @@ def bench_flat_mips():
             "unit": "queries/s", "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2)}
 
 
+def bench_sq8_mips():
+    """sq8 int8-quantized exact scan (faiss QT_8bit role, index.py:334) through
+    the Pallas byte-stream kernel: half the HBM traffic of the bf16 flat scan.
+    vs_baseline = same faiss-V100 flat anchor (compression should gain, not
+    cost, throughput)."""
+    from atlas_tpu.ops.pallas_mips import mips_topk_pallas
+
+    codes = jax.random.randint(jax.random.PRNGKey(5), (N_PASSAGES, DIM), 0, 256, jnp.uint8)
+    q = jax.random.normal(jax.random.PRNGKey(6), (BATCH, DIM), dtype=jnp.bfloat16)
+    search = jax.jit(lambda q, c: mips_topk_pallas(q, c, TOPK, interpret=False))
+    _force(search(q, codes)[0])
+    dt = _timed(search, 30, q, codes)
+    qps = BATCH / dt
+    return {"metric": "sq8_mips_qps_per_chip_1Mx768_k100_b64", "value": round(qps, 1),
+            "unit": "queries/s", "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2)}
+
+
 def bench_pq_adc():
     from atlas_tpu.ops.pq_adc import pq_adc_scores
 
@@ -215,16 +232,41 @@ def bench_refresh():
             "vs_baseline": round(pps / 1719.0, 2)}
 
 
+BENCHES = [bench_pq_adc, bench_sq8_mips, bench_ivf_sparse, bench_fid_train,
+           bench_decode, bench_refresh, bench_flat_mips]  # headline flat-MIPS LAST
+
+
+def _run_one(name: str) -> None:
+    b = {f.__name__: f for f in BENCHES}[name]
+    print("BENCH_JSON " + json.dumps(b()), flush=True)
+
+
 def main():
-    benches = [bench_pq_adc, bench_ivf_sparse, bench_fid_train, bench_decode, bench_refresh, bench_flat_mips]
-    for b in benches:  # headline flat-MIPS metric printed LAST
-        try:
-            print(json.dumps(b()), flush=True)
-        except Exception as e:  # pragma: no cover - report and keep going
+    # Each bench runs in its OWN subprocess: one device context per metric, so
+    # HBM allocations, jit caches, and a possible OOM in one bench can never
+    # poison the next (observed: a mid-suite RESOURCE_EXHAUSTED failed every
+    # subsequent metric when they shared the process).
+    import subprocess
+    import sys
+
+    for b in BENCHES:
+        r = subprocess.run([sys.executable, __file__, b.__name__],
+                           capture_output=True, text=True, timeout=1800)
+        line = next((l for l in r.stdout.splitlines()
+                     if l.startswith("BENCH_JSON ")), None)
+        if line is not None:
+            print(line[len("BENCH_JSON "):], flush=True)
+        else:
+            err = (r.stderr.strip().splitlines() or ["no output"])[-1]
             print(json.dumps({"metric": b.__name__, "value": None,
                               "unit": "error", "vs_baseline": 0.0,
-                              "error": f"{type(e).__name__}: {e}"[:200]}), flush=True)
+                              "error": err[:200]}), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1:
+        _run_one(sys.argv[1])
+    else:
+        main()

@@ -144,6 +144,27 @@ def test_approx_search_pq_pallas_adc(mesh):
     assert np.array_equal(np.asarray(g1), np.asarray(g2))
 
 
+def test_approx_search_sq8_pallas(mesh):
+    """sq8 through the Pallas byte-stream kernel (interpret mode on CPU): the
+    global best hit survives both selection rules (window-argmax here, XLA
+    PartialReduce there) so top-1 ids and affine-corrected scores must agree
+    with the XLA scan."""
+    embs, passages = _corpus(n=300, seed=6)
+    index = DistributedApproxIndex("sq8", mesh=mesh, dtype=jnp.float32)
+    index.sq8_impl = "pallas"
+    index.init_embeddings(passages, dim=32)
+    index.write_embeddings_rows(0, jnp.asarray(embs))
+    index.train_index()
+    q = jnp.asarray(embs[:4])
+    s1, g1 = index.device_search(q, 3)
+    index.sq8_impl = "xla"
+    index._search_fn = None
+    s2, g2 = index.device_search(q, 3)
+    s1, s2, g1, g2 = map(np.asarray, (s1, s2, g1, g2))
+    assert np.array_equal(g1[:, 0], g2[:, 0]), (g1, g2)
+    np.testing.assert_allclose(s1[:, 0], s2[:, 0], rtol=1e-4, atol=1e-4)
+
+
 def _clustered_corpus(n=1600, dim=32, n_clusters=40, seed=7):
     """Blob data so IVF coarse clusters are meaningful and nprobe<nlist recalls well."""
     rng = np.random.RandomState(seed)

@@ -53,3 +53,24 @@ def test_pallas_recall_close_to_exact():
     exact = np.argsort(-(q @ e.T), 1)[:, :K]
     rec = np.mean([len(set(np.asarray(idx)[b]) & set(exact[b])) / K for b in range(B)])
     assert rec > 0.9, rec
+
+
+def test_pallas_kernel_uint8_codes_match_cast():
+    """The sq8 byte-stream path: uint8 codes DMA'd raw, re-biased to int8 in
+    register for the MXU (q.c_u8 = q.(c_u8-128) + 128*sum(q), offset restored on
+    the winners) must agree with the same kernel on a pre-cast bf16 corpus. The
+    two accumulate in different orders, so near-tied windows may legitimately
+    pick either row — ids must match except where the scores tie."""
+    rng = np.random.RandomState(2)
+    B, N, D, K = 4, 16384, 128, 8
+    codes = rng.randint(0, 256, (N, D)).astype(np.uint8)
+    q = rng.randn(B, D).astype(np.float32)
+    v8, i8 = mips_topk_pallas(jnp.asarray(q, jnp.bfloat16), jnp.asarray(codes), K)
+    vf, if_ = mips_topk_pallas(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(codes).astype(jnp.bfloat16), K)
+    v8, i8, vf, if_ = map(np.asarray, (v8, i8, vf, if_))
+    np.testing.assert_allclose(v8, vf, rtol=1e-4)
+    exact = q.astype(np.float64) @ codes.astype(np.float64).T
+    for b in range(B):
+        for j in np.nonzero(i8[b] != if_[b])[0]:
+            assert abs(exact[b, i8[b, j]] - exact[b, if_[b, j]]) < 1.0, (b, j)
