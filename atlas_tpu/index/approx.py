@@ -61,6 +61,8 @@ class DistributedApproxIndex(DistributedIndex):
         self._search_fn = None
         self._ivf_layout: Optional[Dict[str, Any]] = None  # cluster-sorted blocks
         self._sparse_fn = None  # cached jitted sparse searches, keyed by topk
+        self._sq8_layout: Optional[jax.Array] = None  # (NB, D, SUB) u8 blocks
+        self._sq8_fn = None  # cached jitted sq8 pallas searches, keyed by topk
         self.quant: Dict[str, Any] = {}  # replicated quantizer state
         self.codes: Optional[jax.Array] = None  # sharded (N_pad, M) uint8
         self.cluster_of: Optional[jax.Array] = None  # sharded (N_pad,) int32
@@ -136,6 +138,8 @@ class DistributedApproxIndex(DistributedIndex):
         self._search_fn = None
         self._ivf_layout = None
         self._sparse_fn = None
+        self._sq8_layout = None
+        self._sq8_fn = None
 
     def _encode_all(self) -> None:
         """Row-parallel encode of the sharded embedding matrix into sharded codes."""
@@ -370,6 +374,68 @@ class DistributedApproxIndex(DistributedIndex):
                 preferred_element_type=jnp.float32)
         return score
 
+    def _sq8_engaged(self) -> bool:
+        """sq8 through the transposed-block Pallas byte-stream kernel
+        (ops/pallas_mips.py): measured 2.52ms vs 3.1ms for the XLA cast-and-
+        matmul scan at 1M x 768 B=64 on v5e, at half the bf16 HBM footprint."""
+        if self.index_type != "sq8":
+            return False
+        impl = self.sq8_impl
+        if impl == "auto":
+            return jax.default_backend() == "tpu"
+        return impl == "pallas"
+
+    def _build_sq8_layout(self) -> None:
+        """Pre-transpose each shard's (rows, D) uint8 codes into (NB, D, SUB)
+        blocks once, so every search hands the MXU its (K, N) operand with no
+        per-block relayout (the row-major kernel measured 4.85ms for this exact
+        reason). Transient 2x uint8 HBM during the transpose."""
+        from atlas_tpu.ops.pallas_mips import sq8_blocks
+
+        rowP = P(("dp", "mp"))
+        build = jax.jit(jax.shard_map(
+            sq8_blocks, mesh=self.mesh, in_specs=(rowP,), out_specs=rowP,
+            check_vma=False,
+        ), out_shardings=NamedSharding(self.mesh, rowP))
+        self._sq8_layout = build(self.codes)
+
+    def _build_search_sq8(self, topk: int):
+        from atlas_tpu.ops.pallas_mips import mips_topk_pallas_sq8
+
+        mesh, n_pad, n_dev = self.mesh, self.n_pad, self.n_devices
+        shard_rows = n_pad // n_dev
+        k_local = min(topk, shard_rows)
+        quant, dtype = self.quant, self.dtype
+        interp = jax.default_backend() != "tpu"
+
+        def local_search(queries, blocks):
+            dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
+            n_valid_dev = self._shard_valid_rows(dev)
+            B = queries.shape[0]
+            qf = queries.astype(jnp.float32)
+            # folded SQ affine (see _make_chunk_scorer): rank by (q*scale).c,
+            # restore q.(vmin + .5*scale) after selection
+            q_eff = (qf * quant["sq_scale"]).astype(dtype)
+            const = qf @ (quant["sq_vmin"] + 0.5 * quant["sq_scale"])  # (B,)
+            vals, idx = mips_topk_pallas_sq8(q_eff, blocks, k_local,
+                                             n_valid=n_valid_dev, interpret=interp)
+            vals = vals + const[:, None]
+            gidx = (dev * shard_rows + idx).astype(jnp.int32)
+            vals_all = jax.lax.all_gather(vals, ("dp", "mp"))
+            gidx_all = jax.lax.all_gather(gidx, ("dp", "mp"))
+            kk = vals.shape[1]
+            vals_all = vals_all.transpose(1, 0, 2).reshape(B, n_dev * kk)
+            gidx_all = gidx_all.transpose(1, 0, 2).reshape(B, n_dev * kk)
+            mvals, mpos = jax.lax.top_k(vals_all, topk)
+            return mvals, jnp.take_along_axis(gidx_all, mpos, axis=1)
+
+        rowP = P(("dp", "mp"))
+        shmapped = jax.shard_map(
+            local_search, mesh=mesh, in_specs=(P(), rowP),
+            out_specs=(P(), P()), check_vma=False,
+        )
+        return jax.jit(shmapped)
+
     def _build_search(self, topk: int, nprobe_req: int = 0):
         if self.index_type == "flat":
             return super()._build_search(topk)
@@ -384,40 +450,11 @@ class DistributedApproxIndex(DistributedIndex):
         quant = self.quant
         score_chunk = self._make_chunk_scorer()
         recall_target = self.recall_target
-        # sq8 alternative path: stream the uint8 codes through the fused Pallas
-        # MIPS kernel (ops/pallas_mips.py) instead of the chunked cast-and-matmul
-        # scan; the folded-affine trick keeps ranking exact (per-query constant
-        # added after selection). Measured at 1M x 768 B=64 on v5e: 4.9ms — the
-        # in-VMEM u8->i32->bf16 cast costs more than the byte-stream DMA saves,
-        # so the XLA scan (3.1ms) stays the default on every backend.
-        impl = self.sq8_impl
-        if impl == "auto":
-            impl = "xla"
-        sq8_pallas = self.index_type == "sq8" and impl == "pallas"
-        interp = jax.default_backend() != "tpu"
-        dtype = self.dtype
-
         def local_search(queries, emb_shard, codes_shard, cluster_shard):
             dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
             n_valid_dev = self._shard_valid_rows(dev)
             B = queries.shape[0]
             qf = queries.astype(jnp.float32)
-            if sq8_pallas:
-                from atlas_tpu.ops.pallas_mips import mips_topk_pallas
-
-                q_eff = (qf * quant["sq_scale"]).astype(dtype)
-                const = qf @ (quant["sq_vmin"] + 0.5 * quant["sq_scale"])  # (B,)
-                vals, idx = mips_topk_pallas(q_eff, codes_shard, k_local,
-                                             n_valid=n_valid_dev, interpret=interp)
-                vals = vals + const[:, None]
-                gidx = (dev * shard_rows + idx).astype(jnp.int32)
-                vals_all = jax.lax.all_gather(vals, ("dp", "mp"))
-                gidx_all = jax.lax.all_gather(gidx, ("dp", "mp"))
-                kk = vals.shape[1]
-                vals_all = vals_all.transpose(1, 0, 2).reshape(B, n_dev * kk)
-                gidx_all = gidx_all.transpose(1, 0, 2).reshape(B, n_dev * kk)
-                mvals, mpos = jax.lax.top_k(vals_all, topk)
-                return mvals, jnp.take_along_axis(gidx_all, mpos, axis=1)
             if uses_ivf:
                 cents = quant["centroids"]
                 # probe by the ASSIGNMENT metric (argmax x.c - |c|^2/2, the
@@ -502,6 +539,12 @@ class DistributedApproxIndex(DistributedIndex):
             return self._sparse_fn(topk, self.nprobe())(
                 queries, lay["x"], lay["rowvalid"], lay["gid"], lay["bstart"], lay["nb"]
             )
+        if self._sq8_engaged():
+            if self._sq8_layout is None:
+                self._build_sq8_layout()
+            if self._sq8_fn is None:
+                self._sq8_fn = functools.cache(self._build_search_sq8)
+            return self._sq8_fn(topk)(queries, self._sq8_layout)
         if self._search_fn is None:
             self._search_fn = functools.cache(self._build_search)
         # nprobe is mutable object state but baked into the executable — it must
@@ -531,5 +574,7 @@ class DistributedApproxIndex(DistributedIndex):
             self._search_fn = None  # new quant state -> stale closures
             self._ivf_layout = None
             self._sparse_fn = None
+            self._sq8_layout = None
+            self._sq8_fn = None
         else:
             self.train_index()

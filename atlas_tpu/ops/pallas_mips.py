@@ -147,3 +147,115 @@ def mips_topk_pallas(
         # restore the uint8 re-bias: q . c_u8 = q . (c_u8 - 128) + 128 * sum(q)
         top_vals = top_vals + 128.0 * jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
     return top_vals, top_idx
+
+
+# ------------------------------------------------------- sq8 transposed blocks
+#
+# The row-major uint8 path above measures 4.85ms at 1M x 768 B=64 — every fresh
+# (SUB_TILE, D) byte block pays a VPU relayout to become the transposed MXU
+# operand. Pre-transposing the corpus ONCE into (NB, D, SUB_TILE) blocks hands
+# the MXU its (K, N) operand directly: measured 2.52ms = 1.23x the XLA sq8 scan
+# (3.1ms) and 1.5x the bf16 flat scan, at half the bf16 HBM footprint.
+
+
+def sq8_blocks(codes: jnp.ndarray) -> jnp.ndarray:
+    """(rows, D) uint8 -> (NB, D, SUB_TILE) transposed blocks, rows padded to a
+    multiple of MAJOR with zeros (mask via n_valid; zero codes score q.(-128)
+    before the offset restore, and their indices exceed every valid n_valid)."""
+    rows, D = codes.shape
+    pad = (-rows) % MAJOR
+    if pad:
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+    nb = codes.shape[0] // SUB_TILE
+    return codes.reshape(nb, SUB_TILE, D).transpose(0, 2, 1)
+
+
+def _mips_sq8_kernel(q_ref, e_hbm, vals_ref, idx_ref, buf, sems):
+    i = pl.program_id(0)
+    B = q_ref.shape[0]
+    q = q_ref[:]
+
+    def dma(slot, sub):
+        return pltpu.make_async_copy(
+            e_hbm.at[i * N_SUB + sub], buf.at[slot], sems.at[slot]
+        )
+
+    for s0 in range(min(SLOTS - 1, N_SUB)):
+        dma(s0 % SLOTS, s0).start()
+    v_parts, l_parts = [], []
+    for sub in range(N_SUB):
+        slot = sub % SLOTS
+        nxt = sub + SLOTS - 1
+        if nxt < N_SUB:
+            dma(nxt % SLOTS, nxt).start()
+        dma(slot, sub).wait()
+        # xor 0x80 = subtract 128 in two's complement: int8 for the MXU; the
+        # (D, SUB_TILE) block is already the (K, N) operand — no relayout
+        e = (buf[slot] ^ 0x80).view(jnp.int8)
+        s = jax.lax.dot_general(
+            q, e,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (B, SUB_TILE)
+        win = s.reshape(B, SUB_TILE // LANES, LANES)
+        v_parts.append(jnp.max(win, axis=-1))
+        base = (i * N_SUB + sub) * SUB_TILE
+        offs = jax.lax.broadcasted_iota(jnp.int32, (B, SUB_TILE // LANES), 1) * LANES
+        l_parts.append(base + offs + jnp.argmax(win, axis=-1).astype(jnp.int32))
+
+    vals_ref[:] = jnp.concatenate(v_parts, axis=1)
+    idx_ref[:] = jnp.concatenate(l_parts, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def mips_topk_pallas_sq8(
+    queries: jnp.ndarray,  # (B, D) compute dtype (pre-scaled by the SQ caller)
+    blocks: jnp.ndarray,  # (NB, D, SUB_TILE) uint8 from sq8_blocks
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (scores (B,k) fp32 vs the uint8 values, row indices (B,k) int32)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    NB, D, sub = blocks.shape
+    assert sub == SUB_TILE and NB % N_SUB == 0, (blocks.shape,)
+    B = queries.shape[0]
+    N = NB * SUB_TILE
+    if n_valid is None:
+        n_valid = jnp.int32(N)
+    n_win = N // LANES
+    q = queries
+
+    vals, idx = pl.pallas_call(
+        _mips_sq8_kernel,
+        grid=(NB // N_SUB,),
+        in_specs=[
+            pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, MAJOR // LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, MAJOR // LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_win), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_win), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SLOTS, D, SUB_TILE), jnp.uint8),
+            pltpu.SemaphoreType.DMA((SLOTS,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=bool(interpret),
+    )(q, blocks)
+
+    vals = jnp.where(idx < n_valid, vals, NEG)
+    k = min(k, n_win)
+    top_vals, pos = jax.lax.top_k(vals, k)
+    top_idx = jnp.take_along_axis(idx, pos, axis=1)
+    # restore the re-bias: q . c_u8 = q . (c_u8 - 128) + 128 * sum(q)
+    top_vals = top_vals + 128.0 * jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
+    return top_vals, top_idx

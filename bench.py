@@ -77,13 +77,15 @@ def bench_sq8_mips():
     the Pallas byte-stream kernel: half the HBM traffic of the bf16 flat scan.
     vs_baseline = same faiss-V100 flat anchor (compression should gain, not
     cost, throughput)."""
-    from atlas_tpu.ops.pallas_mips import mips_topk_pallas
+    from atlas_tpu.ops.pallas_mips import mips_topk_pallas_sq8, sq8_blocks
 
     codes = jax.random.randint(jax.random.PRNGKey(5), (N_PASSAGES, DIM), 0, 256, jnp.uint8)
+    blocks = jax.jit(sq8_blocks)(codes)
+    del codes
     q = jax.random.normal(jax.random.PRNGKey(6), (BATCH, DIM), dtype=jnp.bfloat16)
-    search = jax.jit(lambda q, c: mips_topk_pallas(q, c, TOPK, interpret=False))
-    _force(search(q, codes)[0])
-    dt = _timed(search, 30, q, codes)
+    search = jax.jit(lambda q, c: mips_topk_pallas_sq8(q, c, TOPK, interpret=False))
+    _force(search(q, blocks)[0])
+    dt = _timed(search, 30, q, blocks)
     qps = BATCH / dt
     return {"metric": "sq8_mips_qps_per_chip_1Mx768_k100_b64", "value": round(qps, 1),
             "unit": "queries/s", "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2)}

@@ -74,3 +74,36 @@ def test_pallas_kernel_uint8_codes_match_cast():
     for b in range(B):
         for j in np.nonzero(i8[b] != if_[b])[0]:
             assert abs(exact[b, i8[b, j]] - exact[b, if_[b, j]]) < 1.0, (b, j)
+
+
+def test_pallas_sq8_blocked_matches_oracle():
+    """Transposed-block sq8 kernel (the production sq8 search path on TPU):
+    window-max selection + re-bias restore must match the numpy oracle."""
+    from atlas_tpu.ops.pallas_mips import mips_topk_pallas_sq8, sq8_blocks
+
+    rng = np.random.RandomState(3)
+    B, N, D, K = 4, 16384, 128, 8
+    codes = rng.randint(0, 256, (N, D)).astype(np.uint8)
+    q = rng.randn(B, D).astype(np.float32)
+    blocks = sq8_blocks(jnp.asarray(codes))
+    vals, idx = mips_topk_pallas_sq8(jnp.asarray(q), blocks, K)
+    ov, oi = _window_oracle(q, codes.astype(np.float64), K)
+    np.testing.assert_allclose(np.asarray(vals), ov, rtol=1e-4)
+    assert np.array_equal(np.asarray(idx), oi)
+
+
+def test_pallas_sq8_blocked_masks_padding():
+    from atlas_tpu.ops.pallas_mips import mips_topk_pallas_sq8, sq8_blocks
+
+    rng = np.random.RandomState(4)
+    N, D = 16384, 64
+    codes = rng.randint(0, 256, (N, D)).astype(np.uint8)
+    q = np.ones((2, D), dtype=np.float32)
+    n_valid = 300
+    vals, idx = mips_topk_pallas_sq8(jnp.asarray(q), sq8_blocks(jnp.asarray(codes)),
+                                     5, n_valid=jnp.int32(n_valid))
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    # only ~3 of 128 windows hold valid rows, so k=5 keeps NEG-masked tail
+    # entries — the merge contract discards them by score, not by id
+    assert (vals[idx >= n_valid] < -1e20).all()
+    assert (idx[vals > -1e20] < n_valid).all() and (vals > -1e20).sum() >= 2
