@@ -156,6 +156,9 @@ def mips_topk_pallas(
 # operand. Pre-transposing the corpus ONCE into (NB, D, SUB_TILE) blocks hands
 # the MXU its (K, N) operand directly: measured 2.52ms = 1.23x the XLA sq8 scan
 # (3.1ms) and 1.5x the bf16 flat scan, at half the bf16 HBM footprint.
+# (The same transposed layout on a bf16 corpus measured only 3.55ms vs 3.82ms
+# row-major — the 16-bit operand isn't relayout-bound, so the flat index keeps
+# its refresh-writable row-major layout and this trick stays sq8-only.)
 
 
 def sq8_blocks(codes: jnp.ndarray) -> jnp.ndarray:
