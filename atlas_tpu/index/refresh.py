@@ -151,5 +151,8 @@ class ShardedCorpusEmbedder:
                 mask = jax.device_put(jnp.asarray(mask), row_sharding)
             emb = self._embed_step(params, emb, ids, mask, jnp.int32(start_local))
         self.index.set_embeddings(emb)
-        if not self.index.is_index_trained():
-            self.index.train_index()
+        # unconditional: faiss resets + retrains at every refresh
+        # (/root/reference/src/index.py:348-358 via build_index) — an approx
+        # index that skipped this would search STALE codes against the new
+        # embeddings. Flat's train_index is a no-op.
+        self.index.train_index()

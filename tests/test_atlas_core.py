@@ -179,3 +179,41 @@ def test_prefetch_pretokenized_equivalence(setup):
             np.testing.assert_array_equal(np.asarray(b1[k]), np.asarray(b2[k]))
         seen.append(batch["query"][0])
     assert seen == [b["query"][0] for b in batches]  # order preserved
+
+
+def test_refresh_retrains_approx_index(setup):
+    """The faiss lifecycle resets + retrains at EVERY refresh (index.py:348-358):
+    after re-embedding with different retriever params, an approx index's codes
+    must reflect the NEW embeddings, not the ones it was first trained on."""
+    from atlas_tpu.index.approx import DistributedApproxIndex
+
+    atlas, _, passages = setup
+    mesh = make_mesh(4, 2)
+    index = DistributedApproxIndex("sq8", mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=atlas.retriever_cfg.hidden_size)
+    atlas.build_index(index, passages, embedder_batch_size=16)
+    codes0 = np.asarray(index.codes[:40]).copy()
+    assert index.is_index_trained()
+
+    # perturb the retriever so the refresh produces different embeddings
+    old_params = atlas.retriever_params
+    try:
+        atlas.retriever_params = jax.tree.map(
+            lambda x: x + 0.05 * jnp.ones_like(x) if x.ndim >= 2 else x, old_params)
+        atlas._corpus_embedder = None  # new index object -> new embedder
+        atlas.build_index(index, passages, embedder_batch_size=16)
+    finally:
+        atlas.retriever_params = old_params
+    codes1 = np.asarray(index.codes[:40])
+    assert not np.array_equal(codes0, codes1), "refresh left stale codes"
+    # and the refreshed index must behave exactly like one built fresh on the
+    # same embeddings (quantizer retrained, no stale state anywhere)
+    fresh = DistributedApproxIndex("sq8", mesh=mesh, dtype=jnp.float32)
+    fresh.init_embeddings(passages, dim=atlas.retriever_cfg.hidden_size)
+    fresh.write_embeddings_rows(0, index.embeddings[: index.n_pad])
+    fresh.train_index()
+    q = index.embeddings[:3].astype(jnp.float32)
+    s1, g1 = index.device_search(q, 3)
+    s2, g2 = fresh.device_search(q, 3)
+    assert np.array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
