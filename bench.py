@@ -243,26 +243,41 @@ def _run_one(name: str) -> None:
     print("BENCH_JSON " + json.dumps(b()), flush=True)
 
 
-def main():
-    # Each bench runs in its OWN subprocess: one device context per metric, so
-    # HBM allocations, jit caches, and a possible OOM in one bench can never
-    # poison the next (observed: a mid-suite RESOURCE_EXHAUSTED failed every
-    # subsequent metric when they shared the process).
+def _run_isolated(bench) -> None:
+    """One metric in its own subprocess (fresh device context)."""
     import subprocess
     import sys
 
-    for b in BENCHES:
-        r = subprocess.run([sys.executable, __file__, b.__name__],
-                           capture_output=True, text=True, timeout=1800)
-        line = next((l for l in r.stdout.splitlines()
-                     if l.startswith("BENCH_JSON ")), None)
-        if line is not None:
-            print(line[len("BENCH_JSON "):], flush=True)
-        else:
-            err = (r.stderr.strip().splitlines() or ["no output"])[-1]
-            print(json.dumps({"metric": b.__name__, "value": None,
-                              "unit": "error", "vs_baseline": 0.0,
-                              "error": err[:200]}), flush=True)
+    r = subprocess.run([sys.executable, __file__, bench.__name__],
+                       capture_output=True, text=True, timeout=1800)
+    line = next((l for l in r.stdout.splitlines()
+                 if l.startswith("BENCH_JSON ")), None)
+    if line is not None:
+        print(line[len("BENCH_JSON "):], flush=True)
+    else:
+        err = (r.stderr.strip().splitlines() or ["no output"])[-1]
+        print(json.dumps({"metric": bench.__name__, "value": None,
+                          "unit": "error", "vs_baseline": 0.0,
+                          "error": err[:200]}), flush=True)
+
+
+def main():
+    # In-process while healthy (subprocess-per-metric pays a full jax init +
+    # uncached compile through the tunnel, ~5-20 min per metric); on the first
+    # failure, the failed metric and everything after it re-run each in a FRESH
+    # subprocess so a RESOURCE_EXHAUSTED cannot poison the remaining metrics
+    # (observed once: a mid-suite OOM failed every later bench in-process).
+    import gc
+
+    for i, b in enumerate(BENCHES):
+        try:
+            print(json.dumps(b()), flush=True)
+        except Exception:
+            for rest in BENCHES[i:]:
+                _run_isolated(rest)
+            return
+        jax.clear_caches()
+        gc.collect()
 
 
 if __name__ == "__main__":
