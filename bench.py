@@ -72,6 +72,26 @@ def bench_flat_mips():
             "unit": "queries/s", "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2)}
 
 
+def bench_flat_mips_b256():
+    """Serving-batch throughput: the flat scan is corpus-read-bound, so batching
+    queries amortizes the mandatory 1.5GB stream (B=64 3.85ms -> B=256 4.90ms
+    measured; B=1024 regresses on selection cost). vs_baseline uses the faiss
+    anchor scaled linearly to B=256 (6000 * 4 = 24k QPS) — generous to faiss,
+    whose own batch scaling is sublinear past its bandwidth roof."""
+    from atlas_tpu.ops.mips import mips_topk
+
+    B = 256
+    emb = jax.random.normal(jax.random.PRNGKey(0), (N_PASSAGES, DIM), dtype=jnp.bfloat16)
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, DIM), dtype=jnp.bfloat16)
+    search = jax.jit(lambda q, e: mips_topk(q, e, TOPK, chunk=1_048_576, recall_target=0.99))
+    _force(search(q, emb)[0])
+    dt = _timed(search, 20, q, emb)
+    qps = B / dt
+    return {"metric": "flat_mips_qps_per_chip_1Mx768_k100_b256", "value": round(qps, 1),
+            "unit": "queries/s",
+            "vs_baseline": round(qps / (FAISS_V100_BASELINE_QPS * 4), 2)}
+
+
 def bench_sq8_mips():
     """sq8 int8-quantized exact scan (faiss QT_8bit role, index.py:334) through
     the Pallas byte-stream kernel: half the HBM traffic of the bf16 flat scan.
@@ -235,7 +255,8 @@ def bench_refresh():
 
 
 BENCHES = [bench_pq_adc, bench_sq8_mips, bench_ivf_sparse, bench_fid_train,
-           bench_decode, bench_refresh, bench_flat_mips]  # headline flat-MIPS LAST
+           bench_decode, bench_refresh, bench_flat_mips_b256,
+           bench_flat_mips]  # headline flat-MIPS LAST
 
 
 def _run_one(name: str) -> None:
