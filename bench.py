@@ -294,9 +294,18 @@ def main():
         try:
             print(json.dumps(b()), flush=True)
         except Exception:
-            for rest in BENCHES[i:]:
-                _run_isolated(rest)
-            return
+            # transient: the tunnel backend can briefly hold a just-exited
+            # process's HBM (observed OOM on a fresh 1.6GB workload) — retry
+            # once after a pause before paying the slow full-isolation path
+            jax.clear_caches()
+            gc.collect()
+            time.sleep(60)
+            try:
+                print(json.dumps(b()), flush=True)
+            except Exception:
+                for rest in BENCHES[i:]:  # incl. b: fresh context + error line
+                    _run_isolated(rest)
+                return
         jax.clear_caches()
         gc.collect()
 
