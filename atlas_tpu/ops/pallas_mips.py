@@ -89,6 +89,17 @@ def _mips_kernel(q_ref, e_hbm, vals_ref, idx_ref, buf, sems):
     idx_ref[:] = jnp.concatenate(l_parts, axis=1)
 
 
+B_MAX = 128  # per-kernel query batch: the (B, n_win) f32+i32 winner outputs are
+# staged through scoped VMEM (16MB limit on v5e — B=256 at 1M rows compiles to a
+# 23.7MB stack allocation and fails); larger batches split and concatenate.
+
+
+def _split_batch(fn, queries, k):
+    parts = [fn(queries[s : s + B_MAX]) for s in range(0, queries.shape[0], B_MAX)]
+    return (jnp.concatenate([p[0] for p in parts], axis=0),
+            jnp.concatenate([p[1] for p in parts], axis=0))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def mips_topk_pallas(
     queries: jnp.ndarray,  # (B, D)
@@ -100,6 +111,10 @@ def mips_topk_pallas(
     """-> (scores (B,k) fp32, indices (B,k) int32)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if queries.shape[0] > B_MAX:
+        return _split_batch(
+            lambda q: mips_topk_pallas(q, embeddings, k, n_valid, interpret),
+            queries, k)
     N, D = embeddings.shape
     B = queries.shape[0]
     pad = (-N) % MAJOR
@@ -221,6 +236,10 @@ def mips_topk_pallas_sq8(
     """-> (scores (B,k) fp32 vs the uint8 values, row indices (B,k) int32)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if queries.shape[0] > B_MAX:
+        return _split_batch(
+            lambda q: mips_topk_pallas_sq8(q, blocks, k, n_valid, interpret),
+            queries, k)
     NB, D, sub = blocks.shape
     assert sub == SUB_TILE and NB % N_SUB == 0, (blocks.shape,)
     B = queries.shape[0]

@@ -107,3 +107,21 @@ def test_pallas_sq8_blocked_masks_padding():
     # entries — the merge contract discards them by score, not by id
     assert (vals[idx >= n_valid] < -1e20).all()
     assert (idx[vals > -1e20] < n_valid).all() and (vals > -1e20).sum() >= 2
+
+
+def test_pallas_sq8_large_batch_splits():
+    """B > 128 splits into per-kernel chunks (v5e scoped-vmem limit on the
+    winner outputs) and must equal per-chunk results stitched together."""
+    from atlas_tpu.ops.pallas_mips import mips_topk_pallas_sq8, sq8_blocks
+
+    rng = np.random.RandomState(5)
+    N, D, K = 16384, 64, 6
+    codes = rng.randint(0, 256, (N, D)).astype(np.uint8)
+    q = rng.randn(200, D).astype(np.float32)  # 200 = 128 + 72
+    blocks = sq8_blocks(jnp.asarray(codes))
+    vals, idx = mips_topk_pallas_sq8(jnp.asarray(q), blocks, K)
+    v0, i0 = mips_topk_pallas_sq8(jnp.asarray(q[:128]), blocks, K)
+    v1, i1 = mips_topk_pallas_sq8(jnp.asarray(q[128:]), blocks, K)
+    assert np.array_equal(np.asarray(idx), np.concatenate([np.asarray(i0), np.asarray(i1)]))
+    np.testing.assert_allclose(
+        np.asarray(vals), np.concatenate([np.asarray(v0), np.asarray(v1)]), rtol=1e-6)
