@@ -64,6 +64,29 @@ def test_retrieve_only_end_to_end(setup):
     assert len(rows[0]["passages"]) == cfg.n_context
 
 
+def test_evaluate_with_approx_index(setup):
+    """The --index_mode faiss CLI combination: the eval loop must run unchanged
+    against a quantized index (sq8 here) — retrieval results flow through the
+    same search_knn contract."""
+    import dataclasses
+
+    from atlas_tpu.index.approx import DistributedApproxIndex
+
+    from helpers import tiny_passages
+
+    atlas, index, cfg, data_path, tmp = setup
+    passages = tiny_passages(20)
+    approx = DistributedApproxIndex("sq8", mesh=index.mesh, dtype=jnp.float32)
+    approx.init_embeddings(passages, dim=atlas.retriever_cfg.hidden_size)
+    atlas._corpus_embedder = None
+    atlas.build_index(approx, passages, embedder_batch_size=8)
+    atlas._corpus_embedder = None
+    cfg2 = dataclasses.replace(cfg, name="approxeval")
+    metrics = evaluate(atlas, approx, cfg2, data_path, step=0)
+    assert np.isfinite(metrics["eval_loss"])
+    assert 0.0 <= metrics["exact_match"] <= 100.0
+
+
 def test_evaluate_from_prebuilt_index(setup, tmp_path):
     """The --load_index_path CLI route (index/io.py:68-73, the prebuilt-index
     recipe of example_scripts/nq/train_fewshot.sh): save the built index, reload
