@@ -270,14 +270,19 @@ class DistributedApproxIndex(DistributedIndex):
             _, cs = jax.lax.top_k(cscores, nprobe)  # (B, nprobe)
 
             # pack each query's probed blocks contiguously: slot s belongs to the
-            # probe whose exclusive-cumsum span covers s
+            # probe whose exclusive-cumsum span covers s. One dense (B, nprobe,
+            # L) comparison instead of vmap(searchsorted): same-process A/B at
+            # B=8, nprobe=16, L=110 measures 0.13ms faster per call (~8% of the
+            # device-side search; the serial-scan binary search is the slowest
+            # single prologue op). Cost breakdown of the 2.55ms call: ~1ms
+            # tunnel dispatch floor, kernel 0.75ms, epilogue 0.23ms, prologue
+            # rest (coarse matmul + top_k(nlist) + packing)
             nbs = nb[cs]  # (B, nprobe) blocks per probed cluster
             offs = jnp.cumsum(nbs, axis=1) - nbs  # exclusive (B, nprobe), ascending
             total = offs[:, -1] + nbs[:, -1]  # (B,) true block count
             slots = jnp.arange(L, dtype=jnp.int32)
-            pidx = jax.vmap(
-                lambda o: jnp.searchsorted(o, slots, side="right") - 1
-            )(offs).astype(jnp.int32)  # (B, L) probe index per slot
+            pidx = (slots[None, None, :] >= offs[:, :, None]).sum(
+                axis=1, dtype=jnp.int32) - 1  # (B, L) probe index per slot
             pidx = jnp.clip(pidx, 0, nprobe - 1)
             sel = jnp.take_along_axis(cs, pidx, axis=1)  # (B, L) cluster per slot
             ids = bstart[sel] + (slots[None, :] - jnp.take_along_axis(offs, pidx, axis=1))
