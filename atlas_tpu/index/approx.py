@@ -455,6 +455,7 @@ class DistributedApproxIndex(DistributedIndex):
         quant = self.quant
         score_chunk = self._make_chunk_scorer()
         recall_target = self.recall_target
+
         def local_search(queries, emb_shard, codes_shard, cluster_shard):
             dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
             n_valid_dev = self._shard_valid_rows(dev)
