@@ -43,6 +43,7 @@ python train.py \
     --query_side_retriever_training \
     --load_index_path "${PRETRAINED_INDEX}"
 
+# last in-training eval fires at step 240 (eval_freq 16 does not divide 250)
 python evaluation_scripts/evaluate_mmlu_predictions.py \
-    --predictions_path ./checkpoint/${EXPERIMENT_NAME}/combined_test-step-250.jsonl \
+    --predictions_path ./checkpoint/${EXPERIMENT_NAME}/combined_test-step-240.jsonl \
     --gold_path "${DATA_DIR}/data/mmlu_data/5-shot-multitask/combined_test.jsonl"
