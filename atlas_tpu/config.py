@@ -174,6 +174,9 @@ class AtlasConfig:
     # "on"/"off" = everything/nothing, or a comma-set of {lm,ffn,qkv,proj} to
     # stream just those matmuls (lm_head / fused FFN / fused qkv / o+cross-q).
     decode_stream: str = "auto"
+    # Whole-decode-step fused Pallas kernel (ops/decode_fused.py): "auto" = on
+    # for TPU greedy decoding when shapes allow, "on"/"off" force it.
+    decode_fused: str = "auto"
     # Gradient-checkpoint recompute policy: "full" (lowest memory) or "dots"
     # (save matmul outputs, recompute elementwise — ~3% faster step on v5e).
     remat_policy: str = "full"
@@ -218,6 +221,7 @@ class AtlasConfig:
         "multiple_choice_eval_permutations": PERMUTATION_TYPES,
         "attn_impl": ["auto", "flash", "xla"],
         "decode_kv_cache": ["bf16", "int8"],
+        "decode_fused": ["auto", "on", "off"],
         "remat_policy": ["full", "dots"],
         "checkpoint_format": ["npz", "orbax"],
     }

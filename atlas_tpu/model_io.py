@@ -112,6 +112,7 @@ def load_reader(cfg: AtlasConfig) -> Tuple[Optional[T5Config], Optional[Dict], A
         attn_impl=cfg.attn_impl,
         decode_cache_dtype=getattr(cfg, "decode_kv_cache", "bf16"),
         decode_stream=getattr(cfg, "decode_stream", "auto"),
+        decode_fused=getattr(cfg, "decode_fused", "auto"),
         remat_policy=getattr(cfg, "remat_policy", "full"),
     )
     if cfg.tiny_model:

@@ -81,6 +81,12 @@ class T5Config:
     # through the streaming Pallas kernels (ops/decode_matmul.py) on TPU, where
     # XLA's small-M matmuls run far under HBM bandwidth; "on"/"off" force it.
     decode_stream: str = "auto"
+    # Whole-step fused decode kernel (ops/decode_fused.py): the entire stack of
+    # decoder layers (+ lm head) runs as ONE Pallas call per token, removing the
+    # ~2.6ms of per-op dispatch the critical-path-bound step otherwise pays.
+    # "auto" = on for TPU greedy decoding when shapes allow; "on" forces it
+    # (interpret-mode on CPU — tests), "off" keeps the XLA scan step.
+    decode_fused: str = "auto"
 
     @property
     def inner_dim(self) -> int:
@@ -517,6 +523,124 @@ def cross_entropy(
 # --------------------------------------------------------------- cached decoding
 
 
+def _fused_decode_ok(cfg: T5Config, batch: int, self_batch: Optional[int]) -> bool:
+    """Gate for the single-kernel fused decode step (ops/decode_fused.py): greedy
+    only (beam search permutes the self cache between steps), TPU-friendly
+    alignment, and the decode_fused flag."""
+    mode = getattr(cfg, "decode_fused", "auto")
+    if mode == "off":
+        return False
+    if mode == "auto" and jax.default_backend() != "tpu":
+        return False
+    if self_batch is not None and self_batch != batch:
+        return False  # beam search
+    inner = cfg.inner_dim
+    if cfg.d_model % 128 or inner % 128 or cfg.d_ff % 128:
+        return False
+    if (batch * cfg.num_heads) % 8:
+        return False
+    return True
+
+
+def _build_fused_cache(
+    params, cfg: T5Config, ck, cv, kscale, vscale, encoder_mask, bias_table,
+    max_len: int,
+) -> Dict[str, jnp.ndarray]:
+    """Column-grouped cache + packed weight stacks for the fused decode kernel.
+
+    ck/cv: (nL, B, H, Lk, Dh) cross K/V (int8 codes or compute dtype);
+    kscale/vscale: (nL, B, H, Lk) f32 or None. Layouts are documented in
+    ops/decode_fused.py; everything here is one-time per generate() call and
+    amortizes over the generated tokens."""
+    nL, B, H, Lk, Dh = ck.shape
+    I, D = H * Dh, cfg.d_model
+    dt = cfg.dtype
+    Lkp = -(-Lk // 512) * 512 if Lk > 512 else -(-Lk // 128) * 128
+    Tmaxp = max(128, -(-max_len // 128) * 128)
+
+    def colify(x):  # (nL, B, H, Lk, Dh) -> (nL, B*I, Lkp), r = (b*H+h)*Dh+d
+        x = jnp.swapaxes(x, 3, 4).reshape(nL, B * I, Lk)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Lkp - Lk)))
+
+    cache: Dict[str, jnp.ndarray] = {
+        "self_k_col": jnp.zeros((nL, B * I, Tmaxp), dtype=dt),
+        "self_v_col": jnp.zeros((nL, B * I, Tmaxp), dtype=dt),
+        "cross_k_col": colify(ck),
+        "cross_v_col": colify(cv),
+        "cross_bias2d": jnp.pad(
+            make_attention_bias(encoder_mask).reshape(B, Lk),
+            ((0, 0), (0, Lkp - Lk)), constant_values=NEG_INF,
+        ).astype(jnp.float32),
+        # (T, H, Tmaxp): row `pos` is that step's rel-pos + causal bias
+        "self_bias_colT": jnp.pad(
+            bias_table, ((0, 0), (0, 0), (0, Tmaxp - bias_table.shape[-1])),
+            constant_values=NEG_INF,
+        ).transpose(1, 0, 2),
+    }
+    if kscale is not None:
+        pad = ((0, 0), (0, 0), (0, 0), (0, Lkp - Lk))
+        cache["ks"] = jnp.pad(kscale, pad, constant_values=1.0)  # (nL, B, H, Lkp)
+        cache["vs"] = jnp.pad(vscale, pad, constant_values=1.0)
+
+    layers = params["decoder"]["layers"]
+    sa, ca, ffn = layers["self_attn"], layers["cross_attn"], layers["ffn"]
+    gated = cfg.feed_forward_proj == "gated-gelu"
+    lnrows = jnp.stack(
+        [
+            layers["ln1"], layers["ln2"], layers["ln3"],
+            jnp.broadcast_to(params["decoder"]["final_ln"], layers["ln1"].shape),
+        ],
+        axis=1,
+    )  # (nL, 4, D)
+    # lm head as (V, D) rows: tied = shared as-is, untied = lm_head transposed
+    wlm = params["shared"] if cfg.tie_word_embeddings else params["lm_head"].T
+    V = wlm.shape[0]
+    Vp = -(-V // 2048) * 2048 if V > 2048 else -(-V // 128) * 128
+    wlm = jnp.pad(wlm, ((0, Vp - V), (0, 0)))
+    cache["fused_w"] = {
+        "wqkvT": jnp.concatenate([sa["q"], sa["k"], sa["v"]], axis=-1)
+        .swapaxes(1, 2).astype(dt),  # (nL, 3I, D)
+        "lnsT": jnp.pad(lnrows, ((0, 0), (0, 4), (0, 0))).swapaxes(1, 2).astype(dt),
+        "self_oT": sa["o"].swapaxes(1, 2).astype(dt),  # (nL, D, I)
+        "cross_qT": ca["q"].swapaxes(1, 2).astype(dt),  # (nL, I, D)
+        "cross_oT": ca["o"].swapaxes(1, 2).astype(dt),  # (nL, D, I)
+        "wiT": (ffn["wi_0"] if gated else ffn["wi"]).swapaxes(1, 2).astype(dt),
+        "wi1T": ffn["wi_1"].swapaxes(1, 2).astype(dt)
+        if gated else jnp.zeros((1, 8, 128), dt),
+        "woT": ffn["wo"].swapaxes(1, 2).astype(dt),  # (nL, D, F)
+        "wlm": wlm.astype(dt),  # (Vp, D)
+    }
+    return cache
+
+
+def _fused_t5_decode_step(
+    params, cfg: T5Config, tokens: jnp.ndarray, pos: jnp.ndarray,
+    cache: Dict[str, jnp.ndarray],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    from atlas_tpu.ops.decode_fused import FusedDims, _pick_block, fused_decode_step
+
+    w = cache["fused_w"]
+    B = tokens.shape[0]
+    H, Dh, D = cfg.num_heads, cfg.d_kv, cfg.d_model
+    nL, _, Tmax = cache["self_k_col"].shape
+    Lk = cache["cross_k_col"].shape[-1]
+    F = w["wiT"].shape[1]
+    Vp = w["wlm"].shape[0]
+    d = FusedDims(
+        nL=nL, B=B, D=D, H=H, Dh=Dh, F=F, V=Vp, Lk=Lk, Tmax=Tmax,
+        blk_l=_pick_block(Lk, 1024), blk_f=_pick_block(F, 1024),
+        blk_v=_pick_block(Vp, 2048),
+        gated=cfg.feed_forward_proj == "gated-gelu",
+        tied=cfg.tie_word_embeddings, int8="ks" in cache, dtype=cfg.dtype,
+    )
+    x = jnp.take(params["shared"], tokens, axis=0).astype(cfg.dtype)  # (B, D)
+    sb = cache["self_bias_colT"][pos]  # (H, Tmax) f32
+    sbias = jnp.broadcast_to(sb[None], (B, H, Tmax))
+    logitsT, sk, sv = fused_decode_step(d, pos, x.T, w, cache, sbias)
+    V = params["shared"].shape[0]
+    return logitsT[:V].T, dict(cache, self_k_col=sk, self_v_col=sv)
+
+
 def init_decode_cache(
     params, cfg: T5Config, encoder_hidden: jnp.ndarray, encoder_mask: jnp.ndarray,
     max_len: int, self_batch: Optional[int] = None,
@@ -549,14 +673,8 @@ def init_decode_cache(
         num_buckets=cfg.relative_attention_num_buckets,
         max_distance=cfg.relative_attention_max_distance,
     )[0] + jnp.where(tpos[:, None] >= tpos[None, :], 0.0, NEG_INF)[None]  # (H,T,T)
-    cache = {
-        "self_k": jnp.zeros((nL, sb, H, max_len, Dh), dtype=cfg.dtype),
-        "self_v": jnp.zeros((nL, sb, H, max_len, Dh), dtype=cfg.dtype),
-        "cross_bias": make_attention_bias(encoder_mask),  # (B,1,1,Lk)
-        "wqkv": wqkv,
-        "self_bias_table": bias_table,
-    }
     ck, cv = proj(ca["k"]), proj(ca["v"])
+    kscale = vscale = None
     if getattr(cfg, "decode_cache_dtype", "bf16") == "int8":
         # per-key-vector symmetric int8: k = k_q * ks with ks = max|k| / 127 over
         # Dh. Exact per-key rescale: q.k = (q.k_q) * ks applied to the score, and
@@ -569,8 +687,24 @@ def init_decode_cache(
                              -127, 127).astype(jnp.int8)
             return codes, s.astype(jnp.float32)
 
-        cache["cross_k"], cache["cross_k_scale"] = quant(ck)
-        cache["cross_v"], cache["cross_v_scale"] = quant(cv)
+        ck, kscale = quant(ck)
+        cv, vscale = quant(cv)
+
+    if _fused_decode_ok(cfg, B, self_batch):
+        return _build_fused_cache(
+            params, cfg, ck, cv, kscale, vscale, encoder_mask, bias_table, max_len
+        )
+
+    cache = {
+        "self_k": jnp.zeros((nL, sb, H, max_len, Dh), dtype=cfg.dtype),
+        "self_v": jnp.zeros((nL, sb, H, max_len, Dh), dtype=cfg.dtype),
+        "cross_bias": make_attention_bias(encoder_mask),  # (B,1,1,Lk)
+        "wqkv": wqkv,
+        "self_bias_table": bias_table,
+    }
+    if kscale is not None:
+        cache["cross_k"], cache["cross_k_scale"] = ck, kscale
+        cache["cross_v"], cache["cross_v_scale"] = cv, vscale
     else:
         cache["cross_k"], cache["cross_v"] = ck, cv
     return cache
@@ -620,7 +754,13 @@ def t5_decode_step(
     full stacked weight array by scalar-prefetched index — slicing weights into
     scan xs would materialize an HBM copy per layer in front of each opaque kernel
     call.
+
+    A cache built by _build_fused_cache (greedy decoding on TPU) routes to the
+    single-kernel fused step instead — see ops/decode_fused.py.
     """
+    if "cross_k_col" in cache:
+        assert beam_size == 1, "fused decode cache is greedy-only"
+        return _fused_t5_decode_step(params, cfg, tokens, pos, cache)
     B = tokens.shape[0]
     Tmax = cache["self_k"].shape[3]
     x = jnp.take(params["shared"], tokens[:, None], axis=0).astype(cfg.dtype)  # (B,1,D)

@@ -1,0 +1,503 @@
+"""Single-kernel fused decoder step: all nL decoder layers (+ lm head) per token.
+
+Why: the incremental decode step at small batch is CRITICAL-PATH bound, not
+bandwidth bound. Measured on v5e (t5-base FiD, B=8, N=20, L=256, int8 cross
+cache): 4.16 ms/token against a ~1.3 ms DMA floor; the gap is ~80 non-fused XLA
+ops each paying fixed dispatch/ramp cost, and every pallas_call adds ~13-20 us
+launch overhead (which is why streaming INDIVIDUAL matmuls through Pallas
+measured neutral — ops/decode_matmul.py docstring). The only structure that
+removes both is ONE kernel per token: a flat sequential grid that walks
+  [qkv | self-attn | self_o+cross_q | cross-attn x NC | cross_o | ffn x NF]
+for every layer, then lm-head blocks, carrying the residual stream in VMEM
+scratch. Weights and KV caches stream through the normal Pallas block pipeline.
+
+Design rules (learned against the Mosaic verifier):
+- The residual stream lives TRANSPOSED, (D, B): activations are columns. Every
+  matmul is then a standard (M, K) @ (K, N) against a PRE-TRANSPOSED weight
+  stack (built once per generate() in models/t5.py _build_fused_cache), so no
+  in-kernel transposes exist at all.
+- At M=1 per (batch, head), attention is a matvec; the MXU would waste >10x on
+  padding, so scores/values run on the VPU: caches store vectors as COLUMNS
+  grouped per batch row, shape (nL, B*I, Lk) with row index b*I + h*Dh + d.
+  Scores are an elementwise product against the query column broadcast over
+  lanes, reduced over each Dh-sublane group.
+- Vector registers with nonzero LANE offsets are never created (Mosaic refuses
+  to concat/assemble them): a lane is extracted as sum(x * (iota == b)) and
+  assembled as sum_b broadcast(col_b) * (iota == b); per-(b, h) operands use 3D
+  layouts indexed on the leading axis; sublane slices stay at multiples of 8.
+
+int8 cross cache: codes quantized per key vector (models/t5.py
+init_decode_cache); scales keep shape (nL, B, H, Lk) so the kernel reads a
+clean (H, blk) tile per batch row. Score rescale and prob-side v-scale folding
+match the XLA int8 decode path formula for formula.
+
+Reference role: the per-token cost inside HF generate() that the reference
+pays via /root/reference/src/atlas.py:592-636. See CLAUDE.md "Measured
+performance" for the step breakdown this design is built against.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1.0e9
+
+
+class FusedDims(NamedTuple):
+    """Static geometry of the fused step (hashable; drives phase layout)."""
+
+    nL: int
+    B: int
+    D: int  # d_model
+    H: int  # heads
+    Dh: int  # d_kv
+    F: int  # d_ff
+    V: int  # vocab (padded to blk_v)
+    Lk: int  # cross length (padded to blk_l)
+    Tmax: int  # self-cache length (padded to lane tile)
+    blk_l: int
+    blk_f: int
+    blk_v: int
+    gated: bool
+    tied: bool
+    int8: bool
+    dtype: Any  # compute dtype
+
+    @property
+    def I(self) -> int:  # noqa: E743 - inner dim
+        return self.H * self.Dh
+
+    @property
+    def NC(self) -> int:
+        return self.Lk // self.blk_l
+
+    @property
+    def NF(self) -> int:
+        return self.F // self.blk_f
+
+    @property
+    def NV(self) -> int:
+        return self.V // self.blk_v
+
+    @property
+    def NPH(self) -> int:
+        # qkv, self, proj, cross x NC, cross-fin, ffn x NF
+        return 3 + self.NC + 1 + self.NF
+
+    @property
+    def total_steps(self) -> int:
+        return self.nL * self.NPH + self.NV
+
+    # phase ids within a layer
+    PH_QKV = 0
+    PH_SELF = 1
+    PH_PROJ = 2
+
+    @property
+    def PH_CROSS0(self) -> int:
+        return 3
+
+    @property
+    def PH_FIN(self) -> int:
+        return 3 + self.NC
+
+    @property
+    def PH_FFN0(self) -> int:
+        return 4 + self.NC
+
+
+def _pick_block(n: int, target: int) -> int:
+    """Largest multiple of 128 <= target dividing n (n must be a multiple of 128)."""
+    best = 128
+    for cand in range(128, min(n, target) + 1, 128):
+        if n % cand == 0:
+            best = cand
+    return best
+
+
+def _split_lp(s, d: FusedDims):
+    """step -> (layer, phase) as traced index arithmetic (epilogue clamps)."""
+    l = jnp.minimum(s // d.NPH, d.nL - 1)
+    ph = s - l * d.NPH  # >= NPH during the epilogue
+    return l, ph
+
+
+# ------------------------------------------------------------- lane utilities
+
+
+def _take_lane(x, b: int, out_dtype=None):
+    """(R, C) -> (R, 1): column b, extracted at lane offset 0 (mask + reduce)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    picked = jnp.where(lane == b, x.astype(jnp.float32), 0.0)
+    out = jnp.sum(picked, axis=1, keepdims=True)
+    return out.astype(out_dtype or x.dtype)
+
+
+def _take_row(x, b: int):
+    """(R, C) -> (1, C) f32: row b at sublane offset 0 (mask + reduce)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    picked = jnp.where(sub == b, x.astype(jnp.float32), 0.0)
+    return jnp.sum(picked, axis=0, keepdims=True)
+
+
+def _put_lanes(cols, n_lanes: int):
+    """[(R, 1) f32] -> (R, n_lanes) f32: column i of the output is cols[i]."""
+    R = cols[0].shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, n_lanes), 1)
+    out = jnp.zeros((R, n_lanes), jnp.float32)
+    for i, c in enumerate(cols):
+        out = out + jnp.where(lane == i, jnp.broadcast_to(c.astype(jnp.float32), (R, n_lanes)), 0.0)
+    return out
+
+
+def _rms_cols(xT, w_col, eps):
+    """RMSNorm over the SUBLANE (feature) axis of a (D, B) column block.
+    w_col: (D, 1) scale column. Matches models/t5.py rms_norm numerics."""
+    xf = xT.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=0, keepdims=True)  # (1, B)
+    xn = xf * jax.lax.rsqrt(var + eps)
+    return (xn.astype(w_col.dtype) * w_col).astype(w_col.dtype)
+
+
+def _scores_b(k_blk, q_col, d: FusedDims):
+    """(I, BLK) cache block x (I, 1) query column -> (H, BLK) f32 scores,
+    reduced over each Dh sublane group. Pure VPU."""
+    prod = (k_blk.astype(d.dtype) * jnp.broadcast_to(q_col, k_blk.shape)).astype(
+        jnp.float32
+    )
+    return prod.reshape(d.H, d.Dh, -1).sum(axis=1)
+
+
+def _values_b(v_blk, p, d: FusedDims):
+    """probs (H, BLK) f32 x cache block (I, BLK) -> (I, 1) f32 partial output."""
+    pexp = jnp.broadcast_to(
+        p.reshape(d.H, 1, -1), (d.H, d.Dh, p.shape[-1])
+    ).reshape(d.I, -1)
+    return (v_blk.astype(jnp.float32) * pexp).sum(axis=1, keepdims=True)
+
+
+def _make_kernel(d: FusedDims):
+    eps = 1e-6
+
+    def kernel(
+        # scalar prefetch
+        pos_ref,  # (1,) int32
+        # inputs (blocked)
+        xT_ref,  # (D, B) embedded token columns
+        wqkvT_ref,  # (1, 3I, D)
+        lnsT_ref,  # (1, D, 8) cols 0..3 = ln1, ln2, ln3, final_ln
+        sk_ref,  # (1, B*I, Tmax)
+        sv_ref,  # (1, B*I, Tmax)
+        sbias_ref,  # (B, H, Tmax) f32 (rel-pos row + causal mask for this pos)
+        wsoT_ref,  # (1, D, I) self_o transposed
+        wcqT_ref,  # (1, I, D) cross_q transposed
+        ck_ref,  # (1, B*I, blk_l) cache codes (int8 or compute dtype)
+        cv_ref,  # (1, B*I, blk_l)
+        ks_ref,  # (1, B, H, blk_l) f32 (int8 only; dummy otherwise)
+        vs_ref,  # (1, B, H, blk_l) f32
+        cbias_ref,  # (B, blk_l) f32
+        wcoT_ref,  # (1, D, I) cross_o transposed
+        wiT_ref,  # (1, blk_f, D)
+        wi1T_ref,  # (1, blk_f, D) (gated only; dummy otherwise)
+        woT_ref,  # (1, D, blk_f)
+        wlm_ref,  # (blk_v, D) — shared as-is (tied) / lm_head transposed
+        # outputs
+        logitsT_ref,  # (blk_v, B) f32
+        sk_out_ref,  # (1, B*I, Tmax) aliased
+        sv_out_ref,  # (1, B*I, Tmax) aliased
+        # scratch
+        xT_scr,  # (D, B) f32 residual stream columns
+        qkvT_scr,  # (3I, B) compute-dtype (cross q parks in rows 0:I after PROJ)
+        outT_scr,  # (I, B) f32 attention output columns
+        m_scr,  # (B, H, 128) f32 flash max
+        l_scr,  # (B, H, 128) f32 flash denom
+        acc_scr,  # (B, I, 128) f32 flash value accumulator (col 0 used)
+        hT_scr,  # (D, B) compute-dtype (ffn input columns)
+    ):
+        s = pl.program_id(0)
+        l, ph = _split_lp(s, d)
+        pos = pos_ref[0]
+        B, D, H, Dh, I = d.B, d.D, d.H, d.Dh, d.I
+        cdt = d.dtype
+
+        def mm(a, b):  # standard (M,K)@(K,N) -> f32
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+
+        def ln_col(j):  # (D, 1) compute-dtype scale column
+            return _take_lane(lnsT_ref[0], j, cdt)
+
+        @pl.when(s == 0)
+        def _init():
+            xT_scr[:] = xT_ref[:].astype(jnp.float32)
+
+        # ---------------- phase 0: rms(ln1) -> fused qkv ----------------
+        @pl.when(ph == d.PH_QKV)
+        def _qkv():
+            hT = _rms_cols(xT_scr[:], ln_col(0), eps)  # (D, B)
+            qkvT_scr[:] = mm(wqkvT_ref[0], hT).astype(cdt)  # (3I, B)
+
+        # ---------------- phase 1: self attention + cache update --------
+        @pl.when(ph == d.PH_SELF)
+        def _self():
+            qkvT = qkvT_scr[:]
+            lane_t = jax.lax.broadcasted_iota(jnp.int32, (I, d.Tmax), 1)
+            out_cols = []
+            for b in range(B):
+                qb = _take_lane(qkvT[:I], b, cdt)  # (I, 1)
+                kb = _take_lane(qkvT[I : 2 * I], b, cdt)
+                vb = _take_lane(qkvT[2 * I :], b, cdt)
+                sk_b = sk_ref[0, b * I : (b + 1) * I]  # (I, Tmax)
+                sv_b = sv_ref[0, b * I : (b + 1) * I]
+                sk_new = jnp.where(
+                    lane_t == pos, jnp.broadcast_to(kb, (I, d.Tmax)).astype(sk_b.dtype), sk_b
+                )
+                sv_new = jnp.where(
+                    lane_t == pos, jnp.broadcast_to(vb, (I, d.Tmax)).astype(sv_b.dtype), sv_b
+                )
+                sk_out_ref[0, b * I : (b + 1) * I] = sk_new
+                sv_out_ref[0, b * I : (b + 1) * I] = sv_new
+                scores = _scores_b(sk_new, qb, d) + sbias_ref[b]  # (H, Tmax) f32
+                mx = jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores - mx)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                out_cols.append(_values_b(sv_new, p, d))  # (I, 1) f32
+            outT_scr[:] = _put_lanes(out_cols, B)
+
+        # ---------------- phase 2: self_o, rms(ln2), cross q ------------
+        @pl.when(ph == d.PH_PROJ)
+        def _proj():
+            xT = xT_scr[:] + mm(wsoT_ref[0], outT_scr[:].astype(cdt))  # (D, B)
+            xT_scr[:] = xT
+            hT = _rms_cols(xT, ln_col(1), eps)
+            qkvT_scr[:I] = mm(wcqT_ref[0], hT).astype(cdt)  # (I, B) cross queries
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        # ---------------- phases 3..3+NC-1: cross attention (flash) -----
+        @pl.when((ph >= d.PH_CROSS0) & (ph < d.PH_FIN))
+        def _cross():
+            qT = qkvT_scr[:I]
+            for b in range(B):
+                qb = _take_lane(qT, b, cdt)  # (I, 1)
+                scores = _scores_b(ck_ref[0, b * I : (b + 1) * I], qb, d)  # (H, BLK)
+                if d.int8:
+                    scores = scores * ks_ref[0, b]
+                scores = scores + jnp.broadcast_to(
+                    _take_row(cbias_ref[:], b), (H, d.blk_l)
+                )
+                m_prev = m_scr[b][:, :1]  # (H, 1)
+                m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)  # (H, 1)
+                p = jnp.exp(scores - m_new)
+                l_new = l_scr[b][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                m_scr[b] = jnp.broadcast_to(m_new, (H, 128))
+                l_scr[b] = jnp.broadcast_to(l_new, (H, 128))
+                if d.int8:
+                    p = p * vs_ref[0, b]
+                alpha_i = jnp.broadcast_to(
+                    alpha.reshape(H, 1, 1), (H, Dh, 1)
+                ).reshape(I, 1)
+                acc_new = acc_scr[b][:, :1] * alpha_i + _values_b(
+                    cv_ref[0, b * I : (b + 1) * I], p, d
+                )
+                acc_scr[b] = jnp.broadcast_to(acc_new, (I, 128))
+
+        # ---------------- phase 3+NC: finalize, cross_o, rms(ln3) -------
+        @pl.when(ph == d.PH_FIN)
+        def _fin():
+            out_cols = []
+            for b in range(B):
+                denom = jnp.maximum(l_scr[b][:, :1], 1e-30)  # (H, 1)
+                denom_i = jnp.broadcast_to(
+                    denom.reshape(H, 1, 1), (H, Dh, 1)
+                ).reshape(I, 1)
+                out_cols.append(acc_scr[b][:, :1] / denom_i)
+            outT = _put_lanes(out_cols, B)  # (I, B) f32
+            xT = xT_scr[:] + mm(wcoT_ref[0], outT.astype(cdt))
+            xT_scr[:] = xT
+            hT_scr[:] = _rms_cols(xT, ln_col(2), eps)
+
+        # ---------------- phases 4+NC..: FFN blocks ---------------------
+        @pl.when((ph >= d.PH_FFN0) & (ph < d.NPH))
+        def _ffn():
+            hT = hT_scr[:]
+            aT = mm(wiT_ref[0], hT)  # (blk_f, B) f32
+            if d.gated:
+                a1T = mm(wi1T_ref[0], hT)
+                aT = jax.nn.gelu(aT, approximate=True) * a1T
+            else:
+                aT = jnp.maximum(aT, 0.0)
+            xT_scr[:] = xT_scr[:] + mm(woT_ref[0], aT.astype(cdt))
+
+        # ---------------- epilogue: final rms + lm head blocks ----------
+        @pl.when(s >= d.nL * d.NPH)
+        def _lm():
+            hT = _rms_cols(xT_scr[:], ln_col(3), eps)
+            if d.tied:
+                hT = hT * jnp.asarray(D**-0.5, cdt)
+            logitsT_ref[:] = mm(wlm_ref[:], hT)  # (blk_v, B) f32
+
+    return kernel
+
+
+# ---------------------------------------------------------------- entry point
+
+
+def _index_maps(d: FusedDims):
+    """Block index maps (flat step s, scalar ref) per operand. Operands not in
+    play for a phase keep their previous index so the pipeline skips the
+    re-fetch; tiny dummies park at 0."""
+    NPH, NC = d.NPH, d.NC
+
+    def layer(s):
+        return jnp.minimum(s // NPH, d.nL - 1)
+
+    def cross_blk(s):
+        l, ph = _split_lp(s, d)
+        return jnp.clip(ph - d.PH_CROSS0, 0, NC - 1)
+
+    def ffn_blk(s):
+        l, ph = _split_lp(s, d)
+        return jnp.clip(ph - d.PH_FFN0, 0, d.NF - 1)
+
+    def vocab_blk(s):
+        return jnp.clip(s - d.nL * NPH, 0, d.NV - 1)
+
+    return {
+        "full2d": lambda s, p: (0, 0),
+        "full3d": lambda s, p: (0, 0, 0),
+        "layer3d": lambda s, p: (layer(s), 0, 0),
+        "layer4d": lambda s, p: (layer(s), 0, 0, 0),
+        "ck": lambda s, p: (layer(s), 0, cross_blk(s)),
+        "kscale": lambda s, p: (layer(s), 0, 0, cross_blk(s)),
+        "cbias": lambda s, p: (0, cross_blk(s)),
+        "wi": lambda s, p: (layer(s), ffn_blk(s), 0),
+        "wo": lambda s, p: (layer(s), 0, ffn_blk(s)),
+        "wlm": lambda s, p: (vocab_blk(s), 0),
+        "logits": lambda s, p: (vocab_blk(s), 0),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("d", "interpret"))
+def fused_decode_step(
+    d: FusedDims,
+    pos: jnp.ndarray,  # () int32
+    xT: jnp.ndarray,  # (D, B) embedded input token columns, compute dtype
+    weights: Dict[str, jnp.ndarray],
+    cache: Dict[str, jnp.ndarray],
+    sbias: jnp.ndarray,  # (B, H, Tmax) f32
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """-> (logitsT (V, B) f32, new self_k_col, new self_v_col).
+
+    weights (pre-transposed stacks, models/t5.py _build_fused_cache):
+      wqkvT (nL,3I,D), lnsT (nL,D,8), self_oT/cross_oT (nL,D,I),
+      cross_qT (nL,I,D), wiT/wi1T (nL,F,D), woT (nL,D,F), wlm (V,D).
+    cache: self_k_col/self_v_col (nL,B*I,Tmax), cross_k_col/cross_v_col
+      (nL,B*I,Lk), ks/vs (nL,B,H,Lk) f32 (int8 only), cross_bias2d (B,Lk) f32.
+    """
+    im = _index_maps(d)
+    B, D, I, H = d.B, d.D, d.I, d.H
+    specs = [
+        pl.BlockSpec((D, B), im["full2d"]),
+        pl.BlockSpec((1, 3 * I, D), im["layer3d"]),
+        pl.BlockSpec((1, D, 8), im["layer3d"]),
+        pl.BlockSpec((1, B * I, d.Tmax), im["layer3d"]),
+        pl.BlockSpec((1, B * I, d.Tmax), im["layer3d"]),
+        pl.BlockSpec((B, H, d.Tmax), im["full3d"]),
+        pl.BlockSpec((1, D, I), im["layer3d"]),
+        pl.BlockSpec((1, I, D), im["layer3d"]),
+        pl.BlockSpec((1, B * I, d.blk_l), im["ck"]),
+        pl.BlockSpec((1, B * I, d.blk_l), im["ck"]),
+        pl.BlockSpec((1, B, H, d.blk_l), im["kscale"]) if d.int8
+        else pl.BlockSpec((1, 8, 128), im["full3d"]),
+        pl.BlockSpec((1, B, H, d.blk_l), im["kscale"]) if d.int8
+        else pl.BlockSpec((1, 8, 128), im["full3d"]),
+        pl.BlockSpec((B, d.blk_l), im["cbias"]),
+        pl.BlockSpec((1, D, I), im["layer3d"]),
+        pl.BlockSpec((1, d.blk_f, D), im["wi"]),
+        pl.BlockSpec((1, d.blk_f, D), im["wi"]) if d.gated
+        else pl.BlockSpec((1, 8, 128), im["full3d"]),
+        pl.BlockSpec((1, D, d.blk_f), im["wo"]),
+        pl.BlockSpec((d.blk_v, D), im["wlm"]),
+    ]
+    dummy = jnp.zeros((1, 8, 128), jnp.float32)
+    operands = [
+        xT,
+        weights["wqkvT"],
+        weights["lnsT"],
+        cache["self_k_col"],
+        cache["self_v_col"],
+        sbias,
+        weights["self_oT"],
+        weights["cross_qT"],
+        cache["cross_k_col"],
+        cache["cross_v_col"],
+        cache.get("ks", dummy),
+        cache.get("vs", dummy),
+        cache["cross_bias2d"],
+        weights["cross_oT"],
+        weights["wiT"],
+        weights.get("wi1T", dummy),
+        weights["woT"],
+        weights["wlm"],
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(d.total_steps,),
+        in_specs=specs,
+        out_specs=[
+            pl.BlockSpec((d.blk_v, B), im["logits"]),
+            pl.BlockSpec((1, B * I, d.Tmax), im["layer3d"]),
+            pl.BlockSpec((1, B * I, d.Tmax), im["layer3d"]),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((D, B), jnp.float32),  # xT
+            pltpu.VMEM((3 * I, B), d.dtype),  # qkvT
+            pltpu.VMEM((I, B), jnp.float32),  # outT
+            pltpu.VMEM((B, H, 128), jnp.float32),  # m
+            pltpu.VMEM((B, H, 128), jnp.float32),  # l
+            pltpu.VMEM((B, I, 128), jnp.float32),  # acc
+            pltpu.VMEM((D, B), d.dtype),  # hT (ffn input)
+        ],
+    )
+    flops = 2 * B * (
+        d.nL * (D * 3 * I + 2 * I * D + D * I + (2 + d.gated) * D * d.F)
+        + D * d.V
+    ) + 2 * B * H * d.nL * (d.Lk + d.Tmax) * d.Dh * 2
+    nbytes = (
+        sum(w.nbytes for w in weights.values())
+        + cache["cross_k_col"].nbytes + cache["cross_v_col"].nbytes
+        + (cache["ks"].nbytes + cache["vs"].nbytes if d.int8 else 0)
+        + 2 * (cache["self_k_col"].nbytes + cache["self_v_col"].nbytes)
+    )
+    logitsT, sk, sv = pl.pallas_call(
+        _make_kernel(d),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((d.V, B), jnp.float32),
+            jax.ShapeDtypeStruct(cache["self_k_col"].shape, cache["self_k_col"].dtype),
+            jax.ShapeDtypeStruct(cache["self_v_col"].shape, cache["self_v_col"].dtype),
+        ],
+        # operand indices include the scalar-prefetch arg: pos=0, xT=1, ...,
+        # self caches are operands 4/5 -> outputs 1/2
+        input_output_aliases={4: 1, 5: 2},
+        interpret=jax.default_backend() != "tpu" if interpret is None else interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=nbytes, transcendentals=B * H * d.Lk * d.nL
+        ),
+    )(jnp.asarray(pos, jnp.int32).reshape(1), *operands)
+    return logitsT, sk, sv

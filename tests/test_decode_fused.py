@@ -1,0 +1,76 @@
+"""Fused single-kernel decode step (ops/decode_fused.py) vs the XLA scan step.
+
+Runs the Pallas kernel in interpret mode on the CPU mesh with a small but
+alignment-satisfying T5 (d_model/inner multiples of 128). The XLA decode path
+(models/t5.py t5_decode_step) is the semantic oracle — itself HF-parity-tested
+in test_generate.py — so agreement here chains to HF generate().
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from atlas_tpu.eval.generate import greedy_generate
+from atlas_tpu.models.fid import fid_encode
+from atlas_tpu.models.t5 import (
+    T5Config,
+    init_decode_cache,
+    init_t5,
+    t5_decode_step,
+)
+
+B, N, L, MAXLEN = 4, 2, 32, 10
+
+
+def _setup(ffn, tied, cache_dtype, seed=0):
+    cfg = T5Config(
+        vocab_size=384, d_model=128, d_kv=64, d_ff=256, num_layers=2,
+        num_decoder_layers=2, num_heads=2, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout_rate=0.0,
+        feed_forward_proj=ffn, tie_word_embeddings=tied, dtype=jnp.float32,
+        decode_cache_dtype=cache_dtype, decode_fused="on",
+    )
+    params = init_t5(jax.random.PRNGKey(seed), cfg)
+    rng = np.random.RandomState(seed + 1)
+    ids = jnp.asarray(rng.randint(2, 384, (B, N, L)))
+    mask = np.ones((B, N, L), dtype=np.int32)
+    mask[1, 1, 20:] = 0
+    mask[3, 0, 5:] = 0
+    return cfg, params, ids, jnp.asarray(mask)
+
+
+@pytest.mark.parametrize(
+    "ffn,tied,cache_dtype",
+    [("gated-gelu", False, "bf16"), ("relu", True, "bf16"), ("relu", True, "int8")],
+)
+def test_fused_step_logits_match_xla(ffn, tied, cache_dtype):
+    cfg, params, ids, mask = _setup(ffn, tied, cache_dtype)
+    cfg_off = cfg.__class__(**{**cfg.__dict__, "decode_fused": "off"})
+    enc = fid_encode(params, cfg, ids, mask, deterministic=True)
+    enc_mask = mask.reshape(B, N * L)
+
+    cache_f = init_decode_cache(params, cfg, enc, enc_mask, MAXLEN)
+    cache_s = init_decode_cache(params, cfg_off, enc, enc_mask, MAXLEN)
+    assert "cross_k_col" in cache_f and "cross_k" in cache_s
+
+    tok0 = jnp.zeros((B,), jnp.int32)
+    lf, cache_f = t5_decode_step(params, cfg, tok0, jnp.int32(0), cache_f)
+    ls, cache_s = t5_decode_step(params, cfg_off, tok0, jnp.int32(0), cache_s)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(ls), atol=2e-3, rtol=1e-3)
+
+    # second step exercises the in-kernel self-cache update at pos=0 read back
+    tok1 = jnp.asarray(np.argmax(np.asarray(ls), -1), jnp.int32)
+    lf2, _ = t5_decode_step(params, cfg, tok1, jnp.int32(1), cache_f)
+    ls2, _ = t5_decode_step(params, cfg_off, tok1, jnp.int32(1), cache_s)
+    np.testing.assert_allclose(np.asarray(lf2), np.asarray(ls2), atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("cache_dtype", ["bf16", "int8"])
+def test_fused_greedy_tokens_match_xla(cache_dtype):
+    cfg, params, ids, mask = _setup("gated-gelu", False, cache_dtype, seed=7)
+    cfg_off = cfg.__class__(**{**cfg.__dict__, "decode_fused": "off"})
+    got = np.asarray(greedy_generate(params, cfg, ids, mask, max_length=MAXLEN))
+    ref = np.asarray(greedy_generate(params, cfg_off, ids, mask, max_length=MAXLEN))
+    assert (got == ref).all(), (got, ref)
