@@ -118,6 +118,16 @@ def beam_generate(
         # across beams of a batch row (the beam permutation is within-row), so
         # re-gathering them would copy gigabytes per step for nothing.
         flat_idx = (idx + jnp.arange(B)[:, None] * K).reshape(-1)  # (B*K,)
+        if "self_k_col" in cache:
+            # fused-kernel layout (nL, B*K*I, Tmax): permute per-row I-groups
+            def perm(x):
+                nL, R, T = x.shape
+                return x.reshape(nL, B * K, R // (B * K), T)[:, flat_idx].reshape(
+                    nL, R, T
+                )
+
+            return dict(cache, self_k_col=perm(cache["self_k_col"]),
+                        self_v_col=perm(cache["self_v_col"]))
         return dict(
             cache,
             self_k=cache["self_k"][:, flat_idx],

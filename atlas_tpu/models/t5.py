@@ -523,35 +523,64 @@ def cross_entropy(
 # --------------------------------------------------------------- cached decoding
 
 
-def _fused_decode_ok(cfg: T5Config, batch: int, self_batch: Optional[int]) -> bool:
-    """Gate for the single-kernel fused decode step (ops/decode_fused.py): greedy
-    only (beam search permutes the self cache between steps), TPU-friendly
-    alignment, and the decode_fused flag."""
+def _fused_dims(cfg: T5Config, Bq: int, Bc: int, Lk: int, max_len: int, int8: bool):
+    """FusedDims for (query rows, cross rows) at RAW lengths; applies the same
+    padding rules as _build_fused_cache."""
+    from atlas_tpu.ops.decode_fused import FusedDims, _pick_block
+
+    Lkp = -(-Lk // 512) * 512 if Lk > 512 else -(-Lk // 128) * 128
+    Tmaxp = max(128, -(-max_len // 128) * 128)
+    V = cfg.vocab_size
+    Vp = -(-V // 2048) * 2048 if V > 2048 else -(-V // 128) * 128
+    return FusedDims(
+        nL=cfg.num_decoder_layers, B=Bq, D=cfg.d_model, H=cfg.num_heads,
+        Dh=cfg.d_kv, F=cfg.d_ff, V=Vp, Lk=Lkp, Tmax=Tmaxp,
+        blk_l=_pick_block(Lkp, 1024), blk_f=_pick_block(cfg.d_ff, 1024),
+        blk_v=_pick_block(Vp, 2048), gated=cfg.feed_forward_proj == "gated-gelu",
+        tied=cfg.tie_word_embeddings, int8=int8, dtype=cfg.dtype, K=Bq // Bc,
+    )
+
+
+def _fused_decode_ok(
+    cfg: T5Config, batch: int, self_batch: Optional[int], Lk: int, max_len: int
+) -> bool:
+    """Gate for the single-kernel fused decode step (ops/decode_fused.py):
+    TPU, aligned shapes, and a VMEM-budget estimate. Beam search fuses too
+    (self_batch = batch*beams query rows share batch cross rows). "on" forces
+    (interpret-mode on CPU — tests), "off" keeps the XLA scan step."""
     mode = getattr(cfg, "decode_fused", "auto")
     if mode == "off":
         return False
     if mode == "auto" and jax.default_backend() != "tpu":
         return False
-    if self_batch is not None and self_batch != batch:
-        return False  # beam search
-    inner = cfg.inner_dim
-    if cfg.d_model % 128 or inner % 128 or cfg.d_ff % 128:
+    Bq = self_batch if self_batch is not None else batch
+    if Bq % batch:
         return False
-    if (batch * cfg.num_heads) % 8:
+    if cfg.d_model % 128 or cfg.inner_dim % 128 or cfg.d_ff % 128:
         return False
+    if (Bq * cfg.num_heads) % 8:
+        return False
+    if mode == "auto":
+        from atlas_tpu.ops.decode_fused import fused_vmem_bytes
+
+        int8 = getattr(cfg, "decode_cache_dtype", "bf16") == "int8"
+        d = _fused_dims(cfg, Bq, batch, Lk, max_len, int8)
+        if fused_vmem_bytes(d) > 108 * 1024 * 1024:
+            return False
     return True
 
 
 def _build_fused_cache(
     params, cfg: T5Config, ck, cv, kscale, vscale, encoder_mask, bias_table,
-    max_len: int,
+    max_len: int, self_batch: int,
 ) -> Dict[str, jnp.ndarray]:
     """Column-grouped cache + packed weight stacks for the fused decode kernel.
 
     ck/cv: (nL, B, H, Lk, Dh) cross K/V (int8 codes or compute dtype);
-    kscale/vscale: (nL, B, H, Lk) f32 or None. Layouts are documented in
-    ops/decode_fused.py; everything here is one-time per generate() call and
-    amortizes over the generated tokens."""
+    kscale/vscale: (nL, B, H, Lk) f32 or None; self_batch = B*beams query rows
+    (the self cache carries every beam, the cross cache one copy per row).
+    Layouts are documented in ops/decode_fused.py; everything here is one-time
+    per generate() call and amortizes over the generated tokens."""
     nL, B, H, Lk, Dh = ck.shape
     I, D = H * Dh, cfg.d_model
     dt = cfg.dtype
@@ -563,8 +592,8 @@ def _build_fused_cache(
         return jnp.pad(x, ((0, 0), (0, 0), (0, Lkp - Lk)))
 
     cache: Dict[str, jnp.ndarray] = {
-        "self_k_col": jnp.zeros((nL, B * I, Tmaxp), dtype=dt),
-        "self_v_col": jnp.zeros((nL, B * I, Tmaxp), dtype=dt),
+        "self_k_col": jnp.zeros((nL, self_batch * I, Tmaxp), dtype=dt),
+        "self_v_col": jnp.zeros((nL, self_batch * I, Tmaxp), dtype=dt),
         "cross_k_col": colify(ck),
         "cross_v_col": colify(cv),
         "cross_bias2d": jnp.pad(
@@ -620,10 +649,12 @@ def _fused_t5_decode_step(
     from atlas_tpu.ops.decode_fused import FusedDims, _pick_block, fused_decode_step
 
     w = cache["fused_w"]
-    B = tokens.shape[0]
+    B = tokens.shape[0]  # query rows = batch * beams
     H, Dh, D = cfg.num_heads, cfg.d_kv, cfg.d_model
+    I = H * Dh
     nL, _, Tmax = cache["self_k_col"].shape
     Lk = cache["cross_k_col"].shape[-1]
+    Bc = cache["cross_k_col"].shape[1] // I
     F = w["wiT"].shape[1]
     Vp = w["wlm"].shape[0]
     d = FusedDims(
@@ -632,6 +663,7 @@ def _fused_t5_decode_step(
         blk_v=_pick_block(Vp, 2048),
         gated=cfg.feed_forward_proj == "gated-gelu",
         tied=cfg.tie_word_embeddings, int8="ks" in cache, dtype=cfg.dtype,
+        K=B // Bc,
     )
     x = jnp.take(params["shared"], tokens, axis=0).astype(cfg.dtype)  # (B, D)
     sb = cache["self_bias_colT"][pos]  # (H, Tmax) f32
@@ -690,9 +722,10 @@ def init_decode_cache(
         ck, kscale = quant(ck)
         cv, vscale = quant(cv)
 
-    if _fused_decode_ok(cfg, B, self_batch):
+    if _fused_decode_ok(cfg, B, self_batch, encoder_mask.shape[-1], max_len):
         return _build_fused_cache(
-            params, cfg, ck, cv, kscale, vscale, encoder_mask, bias_table, max_len
+            params, cfg, ck, cv, kscale, vscale, encoder_mask, bias_table,
+            max_len, sb,
         )
 
     cache = {
@@ -759,7 +792,7 @@ def t5_decode_step(
     single-kernel fused step instead — see ops/decode_fused.py.
     """
     if "cross_k_col" in cache:
-        assert beam_size == 1, "fused decode cache is greedy-only"
+        # beam_size is implicit in the cache geometry (query rows / cross rows)
         return _fused_t5_decode_step(params, cfg, tokens, pos, cache)
     B = tokens.shape[0]
     Tmax = cache["self_k"].shape[3]

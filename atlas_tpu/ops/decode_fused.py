@@ -50,7 +50,12 @@ NEG_INF = -1.0e9
 
 
 class FusedDims(NamedTuple):
-    """Static geometry of the fused step (hashable; drives phase layout)."""
+    """Static geometry of the fused step (hashable; drives phase layout).
+
+    B is the QUERY batch (residual-stream columns). With beam search, B = Bc*K
+    query rows share Bc cross-cache rows (beams of a batch row attend to the
+    same encoder states — the cross-cache dedup the XLA beam path also does);
+    the kernel maps query row b to cross row b // K statically."""
 
     nL: int
     B: int
@@ -68,10 +73,15 @@ class FusedDims(NamedTuple):
     tied: bool
     int8: bool
     dtype: Any  # compute dtype
+    K: int = 1  # beams per cross row
 
     @property
     def I(self) -> int:  # noqa: E743 - inner dim
         return self.H * self.Dh
+
+    @property
+    def Bc(self) -> int:  # cross-cache rows
+        return self.B // self.K
 
     @property
     def NC(self) -> int:
@@ -119,6 +129,25 @@ def _pick_block(n: int, target: int) -> int:
         if n % cand == 0:
             best = cand
     return best
+
+
+def fused_vmem_bytes(d: FusedDims) -> int:
+    """Rough VMEM footprint: streamed blocks double-buffered + scratch. Used by
+    the auto gate (models/t5.py _fused_decode_ok) to fall back to the XLA scan
+    step for shapes that would blow the ~128MB v5e VMEM (3B+ readers, huge
+    batch, beam x bf16 cross cache)."""
+    dt = jnp.dtype(d.dtype).itemsize
+    cs = 1 if d.int8 else dt
+    I, D = d.I, d.D
+    w = (3 * I * D + 3 * D * I) * dt * 2  # qkv + self_o/cross_q/cross_o
+    w += ((2 + d.gated) * d.blk_f * D + d.blk_v * D) * dt * 2
+    self_b = d.B * I * d.Tmax * dt * 8  # k+v, in+out buffers, double-buffered
+    cross_b = d.Bc * I * d.blk_l * cs * 4
+    scale_b = d.Bc * d.H * d.blk_l * 4 * 4 if d.int8 else 0
+    lanes = max(d.B, 128)  # VMEM tiles are 128 lanes wide regardless of B
+    scratch = lanes * (D * 4 + 3 * I * dt + 2 * I * 4 + d.H * 8 + D * dt)
+    misc = d.B * d.H * d.Tmax * 4 + d.Bc * d.blk_l * 4 * 2 + d.blk_v * lanes * 4 * 2
+    return w + self_b + cross_b + scale_b + scratch + misc
 
 
 def _split_lp(s, d: FusedDims):
@@ -215,9 +244,9 @@ def _make_kernel(d: FusedDims):
         xT_scr,  # (D, B) f32 residual stream columns
         qkvT_scr,  # (3I, B) compute-dtype (cross q parks in rows 0:I after PROJ)
         outT_scr,  # (I, B) f32 attention output columns
-        m_scr,  # (B, H, 128) f32 flash max
-        l_scr,  # (B, H, 128) f32 flash denom
-        acc_scr,  # (B, I, 128) f32 flash value accumulator (col 0 used)
+        m_scr,  # (H, B) f32 flash max, one lane per query row
+        l_scr,  # (H, B) f32 flash denom
+        acc_scr,  # (I, B) f32 flash value accumulator
         hT_scr,  # (D, B) compute-dtype (ffn input columns)
     ):
         s = pl.program_id(0)
@@ -286,42 +315,50 @@ def _make_kernel(d: FusedDims):
         @pl.when((ph >= d.PH_CROSS0) & (ph < d.PH_FIN))
         def _cross():
             qT = qkvT_scr[:I]
+            lane_h = jax.lax.broadcasted_iota(jnp.int32, (H, B), 1)
+            lane_i = jax.lax.broadcasted_iota(jnp.int32, (I, B), 1)
             for b in range(B):
+                cb = b // d.K  # beams share their batch row's cross cache
                 qb = _take_lane(qT, b, cdt)  # (I, 1)
-                scores = _scores_b(ck_ref[0, b * I : (b + 1) * I], qb, d)  # (H, BLK)
+                scores = _scores_b(ck_ref[0, cb * I : (cb + 1) * I], qb, d)  # (H, BLK)
                 if d.int8:
-                    scores = scores * ks_ref[0, b]
+                    scores = scores * ks_ref[0, cb]
                 scores = scores + jnp.broadcast_to(
-                    _take_row(cbias_ref[:], b), (H, d.blk_l)
+                    _take_row(cbias_ref[:], cb), (H, d.blk_l)
                 )
-                m_prev = m_scr[b][:, :1]  # (H, 1)
+                m_prev = _take_lane(m_scr[:], b)  # (H, 1)
                 m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
                 alpha = jnp.exp(m_prev - m_new)  # (H, 1)
                 p = jnp.exp(scores - m_new)
-                l_new = l_scr[b][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-                m_scr[b] = jnp.broadcast_to(m_new, (H, 128))
-                l_scr[b] = jnp.broadcast_to(l_new, (H, 128))
+                l_new = _take_lane(l_scr[:], b) * alpha + jnp.sum(
+                    p, axis=-1, keepdims=True
+                )
+                m_scr[:] = jnp.where(
+                    lane_h == b, jnp.broadcast_to(m_new, (H, B)), m_scr[:]
+                )
+                l_scr[:] = jnp.where(
+                    lane_h == b, jnp.broadcast_to(l_new, (H, B)), l_scr[:]
+                )
                 if d.int8:
-                    p = p * vs_ref[0, b]
+                    p = p * vs_ref[0, cb]
                 alpha_i = jnp.broadcast_to(
                     alpha.reshape(H, 1, 1), (H, Dh, 1)
                 ).reshape(I, 1)
-                acc_new = acc_scr[b][:, :1] * alpha_i + _values_b(
-                    cv_ref[0, b * I : (b + 1) * I], p, d
+                acc_new = _take_lane(acc_scr[:], b) * alpha_i + _values_b(
+                    cv_ref[0, cb * I : (cb + 1) * I], p, d
                 )
-                acc_scr[b] = jnp.broadcast_to(acc_new, (I, 128))
+                acc_scr[:] = jnp.where(
+                    lane_i == b, jnp.broadcast_to(acc_new, (I, B)), acc_scr[:]
+                )
 
         # ---------------- phase 3+NC: finalize, cross_o, rms(ln3) -------
         @pl.when(ph == d.PH_FIN)
         def _fin():
-            out_cols = []
-            for b in range(B):
-                denom = jnp.maximum(l_scr[b][:, :1], 1e-30)  # (H, 1)
-                denom_i = jnp.broadcast_to(
-                    denom.reshape(H, 1, 1), (H, Dh, 1)
-                ).reshape(I, 1)
-                out_cols.append(acc_scr[b][:, :1] / denom_i)
-            outT = _put_lanes(out_cols, B)  # (I, B) f32
+            denom = jnp.maximum(l_scr[:], 1e-30)  # (H, B)
+            denom_i = jnp.broadcast_to(
+                denom.reshape(H, 1, B), (H, Dh, B)
+            ).reshape(I, B)
+            outT = acc_scr[:] / denom_i  # (I, B) f32
             xT = xT_scr[:] + mm(wcoT_ref[0], outT.astype(cdt))
             xT_scr[:] = xT
             hT_scr[:] = _rms_cols(xT, ln_col(2), eps)
@@ -406,7 +443,7 @@ def fused_decode_step(
       (nL,B*I,Lk), ks/vs (nL,B,H,Lk) f32 (int8 only), cross_bias2d (B,Lk) f32.
     """
     im = _index_maps(d)
-    B, D, I, H = d.B, d.D, d.I, d.H
+    B, Bc, D, I, H = d.B, d.Bc, d.D, d.I, d.H
     specs = [
         pl.BlockSpec((D, B), im["full2d"]),
         pl.BlockSpec((1, 3 * I, D), im["layer3d"]),
@@ -416,13 +453,13 @@ def fused_decode_step(
         pl.BlockSpec((B, H, d.Tmax), im["full3d"]),
         pl.BlockSpec((1, D, I), im["layer3d"]),
         pl.BlockSpec((1, I, D), im["layer3d"]),
-        pl.BlockSpec((1, B * I, d.blk_l), im["ck"]),
-        pl.BlockSpec((1, B * I, d.blk_l), im["ck"]),
-        pl.BlockSpec((1, B, H, d.blk_l), im["kscale"]) if d.int8
+        pl.BlockSpec((1, Bc * I, d.blk_l), im["ck"]),
+        pl.BlockSpec((1, Bc * I, d.blk_l), im["ck"]),
+        pl.BlockSpec((1, Bc, H, d.blk_l), im["kscale"]) if d.int8
         else pl.BlockSpec((1, 8, 128), im["full3d"]),
-        pl.BlockSpec((1, B, H, d.blk_l), im["kscale"]) if d.int8
+        pl.BlockSpec((1, Bc, H, d.blk_l), im["kscale"]) if d.int8
         else pl.BlockSpec((1, 8, 128), im["full3d"]),
-        pl.BlockSpec((B, d.blk_l), im["cbias"]),
+        pl.BlockSpec((Bc, d.blk_l), im["cbias"]),
         pl.BlockSpec((1, D, I), im["layer3d"]),
         pl.BlockSpec((1, d.blk_f, D), im["wi"]),
         pl.BlockSpec((1, d.blk_f, D), im["wi"]) if d.gated
@@ -464,9 +501,9 @@ def fused_decode_step(
             pltpu.VMEM((D, B), jnp.float32),  # xT
             pltpu.VMEM((3 * I, B), d.dtype),  # qkvT
             pltpu.VMEM((I, B), jnp.float32),  # outT
-            pltpu.VMEM((B, H, 128), jnp.float32),  # m
-            pltpu.VMEM((B, H, 128), jnp.float32),  # l
-            pltpu.VMEM((B, I, 128), jnp.float32),  # acc
+            pltpu.VMEM((H, B), jnp.float32),  # m (lane per query row)
+            pltpu.VMEM((H, B), jnp.float32),  # l
+            pltpu.VMEM((I, B), jnp.float32),  # acc
             pltpu.VMEM((D, B), d.dtype),  # hT (ffn input)
         ],
     )
@@ -494,7 +531,7 @@ def fused_decode_step(
         interpret=jax.default_backend() != "tpu" if interpret is None else interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=nbytes, transcendentals=B * H * d.Lk * d.nL

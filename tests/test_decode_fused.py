@@ -74,3 +74,19 @@ def test_fused_greedy_tokens_match_xla(cache_dtype):
     got = np.asarray(greedy_generate(params, cfg, ids, mask, max_length=MAXLEN))
     ref = np.asarray(greedy_generate(params, cfg_off, ids, mask, max_length=MAXLEN))
     assert (got == ref).all(), (got, ref)
+
+
+@pytest.mark.parametrize("cache_dtype", ["bf16", "int8"])
+def test_fused_beam_tokens_match_xla(cache_dtype):
+    # beams share a batch row's cross cache inside the kernel (query row b ->
+    # cross row b // K); the between-step self-cache permute runs on the
+    # column-grouped layout (eval/generate.py gather_cache)
+    from atlas_tpu.eval.generate import beam_generate
+
+    cfg, params, ids, mask = _setup("relu", True, cache_dtype, seed=11)
+    cfg_off = cfg.__class__(**{**cfg.__dict__, "decode_fused": "off"})
+    got = np.asarray(beam_generate(params, cfg, ids, mask, max_length=MAXLEN,
+                                   num_beams=3, length_penalty=1.0))
+    ref = np.asarray(beam_generate(params, cfg_off, ids, mask, max_length=MAXLEN,
+                                   num_beams=3, length_penalty=1.0))
+    assert (got == ref).all(), (got, ref)
