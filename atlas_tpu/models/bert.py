@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from atlas_tpu.ops.attention import dot_product_attention, make_attention_bias
+from atlas_tpu.ops.flash import flash_attention
 
 
 @dataclass(frozen=True)
@@ -35,6 +36,11 @@ class BertConfig:
     pad_token_id: int = 0
     dtype: Any = jnp.float32
     remat: bool = False
+    # "auto" | "flash" | "xla" — same dispatch policy as T5 (models/t5.py
+    # _use_flash): flash wins on training fwd+bwd (no score re-materialization,
+    # in-kernel PRNG dropout), XLA stays for short deterministic forwards
+    # (the refresh embed path — measured ~6% faster at L<=256 on v5e).
+    attn_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -135,7 +141,10 @@ def bert_encode(
     rng, r0 = jax.random.split(rng)
     x = _dropout(x, cfg.hidden_dropout_prob, deterministic, r0)
 
-    bias = make_attention_bias(attention_mask)
+    from atlas_tpu.models.t5 import _use_flash
+
+    use_flash = _use_flash(cfg, L, L, deterministic=deterministic)
+    bias = None if use_flash else make_attention_bias(attention_mask)
     scale = cfg.head_dim**-0.5
 
     def layer(carry, lp):
@@ -145,11 +154,18 @@ def bert_encode(
         q = _dense(x, a["q"]).reshape(B, L, cfg.num_attention_heads, -1).transpose(0, 2, 1, 3)
         k = _dense(x, a["k"]).reshape(B, L, cfg.num_attention_heads, -1).transpose(0, 2, 1, 3)
         v = _dense(x, a["v"]).reshape(B, L, cfg.num_attention_heads, -1).transpose(0, 2, 1, 3)
-        out = dot_product_attention(
-            q * scale, k, v, bias=bias,
-            dropout_rate=cfg.attention_probs_dropout_prob,
-            deterministic=deterministic, dropout_rng=r1,
-        )
+        if use_flash:
+            out = flash_attention(
+                q * scale, k, v, kv_mask=attention_mask,
+                dropout_rate=0.0 if deterministic else cfg.attention_probs_dropout_prob,
+                dropout_rng=r1,
+            )
+        else:
+            out = dot_product_attention(
+                q * scale, k, v, bias=bias,
+                dropout_rate=cfg.attention_probs_dropout_prob,
+                deterministic=deterministic, dropout_rng=r1,
+            )
         out = out.transpose(0, 2, 1, 3).reshape(B, L, -1)
         out = _dense(out, a["o"])
         x = layer_norm(x + _dropout(out, cfg.hidden_dropout_prob, deterministic, r2), a["ln"], cfg.layer_norm_eps)

@@ -545,14 +545,22 @@ def _fused_decode_ok(
     cfg: T5Config, batch: int, self_batch: Optional[int], Lk: int, max_len: int
 ) -> bool:
     """Gate for the single-kernel fused decode step (ops/decode_fused.py):
-    TPU, aligned shapes, and a VMEM-budget estimate. Beam search fuses too
-    (self_batch = batch*beams query rows share batch cross rows). "on" forces
-    (interpret-mode on CPU — tests), "off" keeps the XLA scan step."""
+    TPU, aligned shapes, and a VMEM-budget estimate. "auto" fuses GREEDY only:
+    the kernel supports beam (query rows share a batch row's cross cache,
+    K = rows/cross-rows), but measured on v5e at t5-base B=8 beam-4 int8 the
+    fused step was 2.8x SLOWER than the XLA scan (420.9 vs 149.6 ms/gen in one
+    process — the per-query-row VPU loops scale with B*K while the XLA step
+    stays matmul-shaped) and compiled-mode tokens diverged from the XLA beam
+    (greedy stays token-identical; not root-caused, interpret mode matches).
+    "on" forces fusion incl. beam (interpret-mode on CPU — tests), "off" keeps
+    the XLA scan step."""
     mode = getattr(cfg, "decode_fused", "auto")
     if mode == "off":
         return False
     if mode == "auto" and jax.default_backend() != "tpu":
         return False
+    if mode == "auto" and self_batch is not None and self_batch != batch:
+        return False  # beam: measured slower than the XLA scan step
     Bq = self_batch if self_batch is not None else batch
     if Bq % batch:
         return False

@@ -55,7 +55,11 @@ class FusedDims(NamedTuple):
     B is the QUERY batch (residual-stream columns). With beam search, B = Bc*K
     query rows share Bc cross-cache rows (beams of a batch row attend to the
     same encoder states — the cross-cache dedup the XLA beam path also does);
-    the kernel maps query row b to cross row b // K statically."""
+    the kernel maps query row b to cross row b // K statically.
+
+    NOTE: beam (K>1) is reachable only under decode_fused="on" — measured on
+    v5e it LOSES to the XLA beam step (see models/t5.py:_fused_decode_ok), so
+    the auto gate keeps the fused path greedy-only."""
 
     nL: int
     B: int

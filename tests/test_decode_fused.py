@@ -90,3 +90,39 @@ def test_fused_beam_tokens_match_xla(cache_dtype):
     ref = np.asarray(beam_generate(params, cfg_off, ids, mask, max_length=MAXLEN,
                                    num_beams=3, length_penalty=1.0))
     assert (got == ref).all(), (got, ref)
+
+
+def test_auto_gate_geometry():
+    """auto-mode gating: greedy-only, and a VMEM estimate that rejects shapes
+    too big for v5e VMEM (checked pretending to be on TPU — the backend check
+    is bypassed by calling the estimate directly)."""
+    import jax.numpy as jnp
+
+    from atlas_tpu.models.t5 import _fused_dims, t5_config_for
+    from atlas_tpu.ops.decode_fused import fused_vmem_bytes
+
+    base = t5_config_for("t5-base", dtype=jnp.bfloat16)
+    # serving greedy shapes fit
+    d = _fused_dims(base, 8, 8, 20 * 256, 32, True)
+    assert fused_vmem_bytes(d) <= 108 * 1024 * 1024
+    # a 3B-class reader (t5-xl dims) must fall back to the XLA scan step
+    import dataclasses
+
+    big = dataclasses.replace(base, d_model=2048, d_ff=5120, num_heads=32,
+                              d_kv=64, num_layers=24, num_decoder_layers=24)
+    d_big = _fused_dims(big, 8, 8, 20 * 256, 32, True)
+    assert fused_vmem_bytes(d_big) > 108 * 1024 * 1024
+
+
+def test_auto_gate_beam_falls_back(monkeypatch):
+    """In auto mode beam search must NOT fuse (measured slower on chip)."""
+    import jax
+
+    from atlas_tpu.models.t5 import _fused_decode_ok, t5_config_for
+
+    cfg = t5_config_for("t5-base", dtype=jnp.bfloat16)
+    cfg = cfg.__class__(**{**cfg.__dict__, "decode_fused": "auto"})
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert _fused_decode_ok(cfg, 8, None, 256, 32)
+    assert _fused_decode_ok(cfg, 8, 8, 256, 32)
+    assert not _fused_decode_ok(cfg, 8, 32, 256, 32)

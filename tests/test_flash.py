@@ -176,3 +176,31 @@ def test_t5_forward_flash_vs_xla():
     flat_f = jax.tree.leaves(g_f)
     for a, b in zip(flat_f, flat_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_bert_forward_flash_vs_xla():
+    """BERT wiring check: bert_encode with attn_impl='flash' (interpret kernels on
+    CPU) matches 'xla' in values and grads — the joint-train retriever path."""
+    from atlas_tpu.models.bert import BertConfig, bert_encode, init_bert
+
+    base = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=64,
+                      hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    params = init_bert(jax.random.PRNGKey(0), base)
+    B, L = 2, 128
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, L), 0, 64)
+    mask = jnp.ones((B, L), jnp.int32).at[:, 100:].set(0)
+
+    def loss(params, impl):
+        import dataclasses
+
+        cfg = dataclasses.replace(base, attn_impl=impl)
+        h = bert_encode(params, cfg, ids, mask, deterministic=False,
+                        rng=jax.random.PRNGKey(2))
+        return jnp.sum(h * h)
+
+    l_x, g_x = jax.value_and_grad(loss)(params, "xla")
+    l_f, g_f = jax.value_and_grad(loss)(params, "flash")
+    np.testing.assert_allclose(float(l_f), float(l_x), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
