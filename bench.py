@@ -20,6 +20,10 @@ its own stated anchor:
   L=384, remat, dropout 0.1, bf16 compute / fp32 masters), encoder tokens/s.
   Anchor: the SAME step with the reference's score-materializing attention
   (attn_impl=xla) on this chip — isolates the flash-attention win.
+- joint_train_tokens_per_s: the PRODUCTION jitted train step (train/step.py) —
+  retriever fwd+bwd + ppmean gold scores + FiD reader fwd+bwd + both optimizer
+  updates at the NQ shape. Anchor: the same step with attn_impl=xla (isolates
+  the T5+BERT flash-attention wins in the real loop).
 - decode_seq_per_s: greedy generation, t5-base FiD reader, B=8, N=20, L=256,
   32 new tokens. Anchor: round-1 measurement (37 seq/s) for round-over-round
   tracking.
@@ -206,6 +210,71 @@ def bench_fid_train():
             "unit": "tokens/s", "vs_baseline": round(ms_xla / ms_flash, 2)}
 
 
+def _joint_step_ms(attn_impl):
+    """Full production train step (train/step.py): retriever fwd+bwd + ppmean
+    gold scores + FiD reader fwd+bwd + NaN gate + clip + both optimizer updates,
+    at the NQ finetune shape. This is the loop train.py actually runs."""
+    import dataclasses
+
+    from atlas_tpu.config import AtlasConfig
+    from atlas_tpu.core.atlas import Atlas
+    from atlas_tpu.index.flat import DistributedIndex
+    from atlas_tpu.models.bert import bert_config_for
+    from atlas_tpu.models.contriever import init_retriever
+    from atlas_tpu.models.t5 import init_t5, t5_config_for
+    from atlas_tpu.parallel.mesh import make_mesh, set_global_mesh
+    from atlas_tpu.tokenization import ByteTokenizer
+    from atlas_tpu.train.optim import make_optimizers
+    from atlas_tpu.train.step import create_train_state, make_train_step
+
+    B, N, L = 1, 40, 384
+    cfg = AtlasConfig(text_maxlength=L, target_maxlength=64, n_context=N,
+                      retriever_n_context=N, precision="bf16", train_retriever=True,
+                      total_steps=100, warmup_steps=10, lr=1e-4, lr_retriever=1e-5)
+    rcfg = dataclasses.replace(
+        t5_config_for("t5-base", dtype=jnp.bfloat16, remat=True), attn_impl=attn_impl)
+    bcfg = bert_config_for("bert-base-uncased", dtype=jnp.bfloat16, remat=True,
+                           attn_impl=attn_impl)
+    atlas = Atlas(cfg, rcfg, init_t5(jax.random.PRNGKey(0), rcfg),
+                  bcfg, init_retriever(jax.random.PRNGKey(1), bcfg),
+                  ByteTokenizer("t5"), ByteTokenizer("bert"))
+    mesh = make_mesh(1, 1)
+    set_global_mesh(mesh)
+    passages = [{"id": str(i), "title": f"t{i}",
+                 "text": " ".join(f"word{i}_{j}" for j in range(48))}
+                for i in range(64)]
+    index = DistributedIndex(mesh=mesh, dtype=jnp.bfloat16)
+    index.init_embeddings(passages, dim=bcfg.hidden_size)
+    atlas.build_index(index, passages, embedder_batch_size=64)
+    batch, _ = atlas.make_batch(
+        index, query=["question: what is item 3? answer: <extra_id_0>"] * B,
+        target=["<extra_id_0> answer three"] * B, training=True)
+
+    reader_opt, retr_opt = make_optimizers(cfg)
+    params = {"reader": atlas.reader_params, "retriever": atlas.retriever_params}
+    state = create_train_state(params, reader_opt, retr_opt)
+    step_fn = make_train_step(atlas, cfg, reader_opt, retr_opt)
+    rng = jax.random.PRNGKey(2)
+
+    state, m = step_fn(state, batch, rng, True)
+    _force(m["loss/train_loss"])
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step_fn(state, batch, rng, True)
+    _force(m["loss/train_loss"])
+    return (time.perf_counter() - t0) / iters * 1e3, B * N * L
+
+
+def bench_joint_train():
+    ms_flash, enc_tokens = _joint_step_ms("auto")
+    ms_xla, _ = _joint_step_ms("xla")
+    tps = enc_tokens / (ms_flash / 1e3)
+    return {"metric": "joint_train_enc_tokens_per_s_t5base_contriever_b1_n40_l384",
+            "value": round(tps), "unit": "tokens/s",
+            "vs_baseline": round(ms_xla / ms_flash, 2)}
+
+
 def bench_decode():
     import dataclasses
 
@@ -255,7 +324,7 @@ def bench_refresh():
 
 
 BENCHES = [bench_pq_adc, bench_sq8_mips, bench_ivf_sparse, bench_fid_train,
-           bench_decode, bench_refresh, bench_flat_mips_b256,
+           bench_joint_train, bench_decode, bench_refresh, bench_flat_mips_b256,
            bench_flat_mips]  # headline flat-MIPS LAST
 
 
