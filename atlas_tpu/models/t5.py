@@ -524,14 +524,16 @@ def cross_entropy(
 
 
 def _fused_dims(cfg: T5Config, Bq: int, Bc: int, Lk: int, max_len: int, int8: bool):
-    """FusedDims for (query rows, cross rows) at RAW lengths; applies the same
-    padding rules as _build_fused_cache."""
-    from atlas_tpu.ops.decode_fused import FusedDims, _pick_block
+    """FusedDims for (query rows, cross rows) at RAW lengths; _build_fused_cache
+    applies the same shared padding helpers, so the VMEM-gate estimate and the
+    real cache geometry cannot drift."""
+    from atlas_tpu.ops.decode_fused import (
+        FusedDims, _pick_block, pad_lk, pad_tmax, pad_vocab,
+    )
 
-    Lkp = -(-Lk // 512) * 512 if Lk > 512 else -(-Lk // 128) * 128
-    Tmaxp = max(128, -(-max_len // 128) * 128)
-    V = cfg.vocab_size
-    Vp = -(-V // 2048) * 2048 if V > 2048 else -(-V // 128) * 128
+    Lkp = pad_lk(Lk)
+    Tmaxp = pad_tmax(max_len)
+    Vp = pad_vocab(cfg.vocab_size)
     return FusedDims(
         nL=cfg.num_decoder_layers, B=Bq, D=cfg.d_model, H=cfg.num_heads,
         Dh=cfg.d_kv, F=cfg.d_ff, V=Vp, Lk=Lkp, Tmax=Tmaxp,
@@ -551,16 +553,21 @@ def _fused_decode_ok(
     fused step was 2.8x SLOWER than the XLA scan (420.9 vs 149.6 ms/gen in one
     process — the per-query-row VPU loops scale with B*K while the XLA step
     stays matmul-shaped) and compiled-mode tokens diverged from the XLA beam
-    (greedy stays token-identical; not root-caused, interpret mode matches).
-    "on" forces fusion incl. beam (interpret-mode on CPU — tests), "off" keeps
-    the XLA scan step."""
+    (greedy stays token-identical; not root-caused, interpret mode matches) —
+    so beam NEVER fuses on a real TPU, even under "on". "on" forces fusion
+    (incl. beam off-TPU, interpret mode — tests), "off" keeps the XLA scan
+    step."""
     mode = getattr(cfg, "decode_fused", "auto")
     if mode == "off":
         return False
     if mode == "auto" and jax.default_backend() != "tpu":
         return False
-    if mode == "auto" and self_batch is not None and self_batch != batch:
-        return False  # beam: measured slower than the XLA scan step
+    if (self_batch is not None and self_batch != batch
+            and jax.default_backend() == "tpu"):
+        # Beam never fuses on real hardware — measured slower than the XLA scan
+        # AND compiled-mode tokens diverge (interpret mode matches; not
+        # root-caused). "on" still fuses beam off-TPU for the interpret tests.
+        return False
     Bq = self_batch if self_batch is not None else batch
     if Bq % batch:
         return False
@@ -589,11 +596,13 @@ def _build_fused_cache(
     (the self cache carries every beam, the cross cache one copy per row).
     Layouts are documented in ops/decode_fused.py; everything here is one-time
     per generate() call and amortizes over the generated tokens."""
+    from atlas_tpu.ops.decode_fused import pad_lk, pad_tmax, pad_vocab
+
     nL, B, H, Lk, Dh = ck.shape
     I, D = H * Dh, cfg.d_model
     dt = cfg.dtype
-    Lkp = -(-Lk // 512) * 512 if Lk > 512 else -(-Lk // 128) * 128
-    Tmaxp = max(128, -(-max_len // 128) * 128)
+    Lkp = pad_lk(Lk)
+    Tmaxp = pad_tmax(max_len)
 
     def colify(x):  # (nL, B, H, Lk, Dh) -> (nL, B*I, Lkp), r = (b*H+h)*Dh+d
         x = jnp.swapaxes(x, 3, 4).reshape(nL, B * I, Lk)
@@ -632,7 +641,7 @@ def _build_fused_cache(
     # lm head as (V, D) rows: tied = shared as-is, untied = lm_head transposed
     wlm = params["shared"] if cfg.tie_word_embeddings else params["lm_head"].T
     V = wlm.shape[0]
-    Vp = -(-V // 2048) * 2048 if V > 2048 else -(-V // 128) * 128
+    Vp = pad_vocab(V)
     wlm = jnp.pad(wlm, ((0, Vp - V), (0, 0)))
     cache["fused_w"] = {
         "wqkvT": jnp.concatenate([sa["q"], sa["k"], sa["v"]], axis=-1)

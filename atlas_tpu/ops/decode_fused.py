@@ -18,7 +18,8 @@ Design rules (learned against the Mosaic verifier):
   in-kernel transposes exist at all.
 - At M=1 per (batch, head), attention is a matvec; the MXU would waste >10x on
   padding, so scores/values run on the VPU: caches store vectors as COLUMNS
-  grouped per batch row, shape (nL, B*I, Lk) with row index b*I + h*Dh + d.
+  grouped per batch row, shape (nL, B*I, Lk) with row index b*I + h*Dh + d
+  (cross caches carry Bc = B/K rows — beams share a batch row's cross cache).
   Scores are an elementwise product against the query column broadcast over
   lanes, reduced over each Dh-sublane group.
 - Vector registers with nonzero LANE offsets are never created (Mosaic refuses
@@ -135,6 +136,21 @@ def _pick_block(n: int, target: int) -> int:
     return best
 
 
+def pad_lk(lk: int) -> int:
+    """Cross-length padding: 512-multiples past 512 (blk_l granularity), else 128."""
+    return -(-lk // 512) * 512 if lk > 512 else -(-lk // 128) * 128
+
+
+def pad_tmax(max_len: int) -> int:
+    """Self-cache length padding: 128-lane multiples, minimum one tile."""
+    return max(128, -(-max_len // 128) * 128)
+
+
+def pad_vocab(v: int) -> int:
+    """LM-head vocab padding: 2048-multiples past 2048 (blk_v), else 128."""
+    return -(-v // 2048) * 2048 if v > 2048 else -(-v // 128) * 128
+
+
 def fused_vmem_bytes(d: FusedDims) -> int:
     """Rough VMEM footprint: streamed blocks double-buffered + scratch. Used by
     the auto gate (models/t5.py _fused_decode_ok) to fall back to the XLA scan
@@ -230,11 +246,11 @@ def _make_kernel(d: FusedDims):
         sbias_ref,  # (B, H, Tmax) f32 (rel-pos row + causal mask for this pos)
         wsoT_ref,  # (1, D, I) self_o transposed
         wcqT_ref,  # (1, I, D) cross_q transposed
-        ck_ref,  # (1, B*I, blk_l) cache codes (int8 or compute dtype)
-        cv_ref,  # (1, B*I, blk_l)
-        ks_ref,  # (1, B, H, blk_l) f32 (int8 only; dummy otherwise)
-        vs_ref,  # (1, B, H, blk_l) f32
-        cbias_ref,  # (B, blk_l) f32
+        ck_ref,  # (1, Bc*I, blk_l) cache codes (int8 or compute dtype)
+        cv_ref,  # (1, Bc*I, blk_l)
+        ks_ref,  # (1, Bc, H, blk_l) f32 (int8 only; dummy otherwise)
+        vs_ref,  # (1, Bc, H, blk_l) f32
+        cbias_ref,  # (Bc, blk_l) f32
         wcoT_ref,  # (1, D, I) cross_o transposed
         wiT_ref,  # (1, blk_f, D)
         wi1T_ref,  # (1, blk_f, D) (gated only; dummy otherwise)
@@ -443,8 +459,10 @@ def fused_decode_step(
     weights (pre-transposed stacks, models/t5.py _build_fused_cache):
       wqkvT (nL,3I,D), lnsT (nL,D,8), self_oT/cross_oT (nL,D,I),
       cross_qT (nL,I,D), wiT/wi1T (nL,F,D), woT (nL,D,F), wlm (V,D).
-    cache: self_k_col/self_v_col (nL,B*I,Tmax), cross_k_col/cross_v_col
-      (nL,B*I,Lk), ks/vs (nL,B,H,Lk) f32 (int8 only), cross_bias2d (B,Lk) f32.
+    cache: self_k_col/self_v_col (nL,B*I,Tmax) for the B QUERY rows;
+      cross operands carry Bc = B/K rows (beams share a batch row's cross
+      cache): cross_k_col/cross_v_col (nL,Bc*I,Lk), ks/vs (nL,Bc,H,Lk) f32
+      (int8 only), cross_bias2d (Bc,Lk) f32.
     """
     im = _index_maps(d)
     B, Bc, D, I, H = d.B, d.Bc, d.D, d.I, d.H

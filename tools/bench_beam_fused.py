@@ -25,8 +25,12 @@ ITERS = 8
 
 def run(cache_dtype, fused):
     cfg = t5_config_for("t5-base", dtype=jnp.bfloat16)
+    # "on" (not "auto"): the auto gate keeps fused decode greedy-only after this
+    # tool measured the fused beam a loss; "on" forces the fused beam path so the
+    # A/B stays reproducible. NOTE: on TPU the gate also refuses "on"+beam in
+    # compiled mode (token divergence) — re-relax _fused_decode_ok to re-measure.
     cfg = dataclasses.replace(cfg, dropout_rate=0.0, decode_cache_dtype=cache_dtype,
-                              decode_fused="auto" if fused else "off")
+                              decode_fused="on" if fused else "off")
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
                           init_t5(jax.random.PRNGKey(0), cfg))
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, N, L), 0, 32000)

@@ -28,7 +28,12 @@ def step_ms(impl, B, L, train, iters=10):
             h = bert_encode(pc, cfg, ids, mask, deterministic=False, rng=rng)
             return jnp.sum(h.mean(axis=1) ** 2)
 
-        f = jax.jit(lambda p, rng: jax.value_and_grad(loss)(p, rng)[0])
+        def step(p, rng):
+            # return value + a grad reduction so XLA cannot DCE the backward
+            v, g = jax.value_and_grad(loss)(p, rng)
+            return v + sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))
+
+        f = jax.jit(step)
     else:
         pc = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
         f = jax.jit(lambda p, rng: bert_encode(p, cfg, ids, mask).mean())
