@@ -1,8 +1,12 @@
 #!/usr/bin/env python
-"""One-process A/B: greedy decode fused kernel vs XLA scan step (regression
-check for the kernel scratch-layout change), t5-base FiD B=8, N=20, L=256."""
+"""One-process A/B: greedy decode fused kernel vs XLA scan step, FiD at
+B=8, N=20, L=256, gen 32. Model name via argv (default t5-base):
+
+  PYTHONPATH=/root/repo:/root/.axon_site python -u tools/bench_greedy_fused.py t5-large
+"""
 
 import dataclasses
+import sys
 import time
 
 import jax
@@ -14,10 +18,11 @@ from atlas_tpu.models.t5 import init_t5, t5_config_for
 
 B, N, L, GEN = 8, 20, 256, 32
 ITERS = 10
+MODEL = sys.argv[1] if len(sys.argv) > 1 else "t5-base"
 
 
 def run(cache_dtype, fused):
-    cfg = t5_config_for("t5-base", dtype=jnp.bfloat16)
+    cfg = t5_config_for(MODEL, dtype=jnp.bfloat16)
     cfg = dataclasses.replace(cfg, dropout_rate=0.0, decode_cache_dtype=cache_dtype,
                               decode_fused="auto" if fused else "off")
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
@@ -37,8 +42,9 @@ def main():
         ms_off, tok_off = run(cache_dtype, fused=False)
         ms_on, tok_on = run(cache_dtype, fused=True)
         match = bool((tok_off == tok_on).all())
-        print(f"greedy {cache_dtype}: fused {ms_on:.1f} ms/gen vs xla {ms_off:.1f} "
-              f"({ms_off / ms_on:.2f}x), tokens_match={match}", flush=True)
+        print(f"{MODEL} greedy {cache_dtype}: fused {ms_on:.1f} ms/gen vs xla "
+              f"{ms_off:.1f} ({ms_off / ms_on:.2f}x), tokens_match={match}",
+              flush=True)
 
 
 if __name__ == "__main__":
