@@ -141,9 +141,9 @@ def bert_encode(
     rng, r0 = jax.random.split(rng)
     x = _dropout(x, cfg.hidden_dropout_prob, deterministic, r0)
 
-    from atlas_tpu.models.t5 import _use_flash
+    from atlas_tpu.ops.flash import flash_wins
 
-    use_flash = _use_flash(cfg, L, L, deterministic=deterministic)
+    use_flash = flash_wins(cfg.attn_impl, L, L, deterministic=deterministic)
     bias = None if use_flash else make_attention_bias(attention_mask)
     scale = cfg.head_dim**-0.5
 

@@ -289,29 +289,14 @@ def _ffn_apply(ffn, x, cfg: T5Config, deterministic, rng):
     return h.astype(x.dtype) @ ffn["wo"]
 
 
-def _use_flash(cfg: T5Config, lq: int, lk: int, capture: bool = False,
+def _use_flash(cfg, lq: int, lk: int, capture: bool = False,
                deterministic: bool = False) -> bool:
-    """Flash engages on TPU when it measures faster than XLA; the capture path
-    needs materialized probs (fid.py:335-341) so it always falls back.
+    """Dispatch to the shared ops.flash policy (measured thresholds live
+    there); cfg is any config with an attn_impl field (T5Config, BertConfig)."""
+    from atlas_tpu.ops.flash import flash_wins
 
-    Measured on v5e (t5-base): training fwd+bwd at L=384 flash is 1.3x XLA (the
-    bwd avoids re-materializing scores and the in-kernel PRNG avoids dropout mask
-    tensors), but DETERMINISTIC forward-only at L=256 flash is ~6% slower (XLA's
-    fused softmax is already bandwidth-optimal and flash pays kernel overhead) —
-    so inference keeps XLA until the score tensor gets big enough that avoiding
-    its HBM round-trip wins."""
-    if capture:
-        return False
-    impl = getattr(cfg, "attn_impl", "auto")
-    if impl == "flash":
-        return True
-    if impl != "auto":
-        return False
-    if jax.default_backend() != "tpu":
-        return False
-    if not deterministic:  # training: fwd+bwd+dropout — flash wins from L>=128
-        return lq >= 128 or lk >= 1024
-    return lq >= 512 or lk >= 4096
+    return flash_wins(getattr(cfg, "attn_impl", "auto"), lq, lk,
+                      capture=capture, deterministic=deterministic)
 
 
 def _attn_apply(
@@ -663,25 +648,20 @@ def _fused_t5_decode_step(
     params, cfg: T5Config, tokens: jnp.ndarray, pos: jnp.ndarray,
     cache: Dict[str, jnp.ndarray],
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    from atlas_tpu.ops.decode_fused import FusedDims, _pick_block, fused_decode_step
+    from atlas_tpu.ops.decode_fused import fused_decode_step
 
     w = cache["fused_w"]
     B = tokens.shape[0]  # query rows = batch * beams
-    H, Dh, D = cfg.num_heads, cfg.d_kv, cfg.d_model
+    H, Dh = cfg.num_heads, cfg.d_kv
     I = H * Dh
     nL, _, Tmax = cache["self_k_col"].shape
     Lk = cache["cross_k_col"].shape[-1]
     Bc = cache["cross_k_col"].shape[1] // I
-    F = w["wiT"].shape[1]
-    Vp = w["wlm"].shape[0]
-    d = FusedDims(
-        nL=nL, B=B, D=D, H=H, Dh=Dh, F=F, V=Vp, Lk=Lk, Tmax=Tmax,
-        blk_l=_pick_block(Lk, 1024), blk_f=_pick_block(F, 1024),
-        blk_v=_pick_block(Vp, 2048),
-        gated=cfg.feed_forward_proj == "gated-gelu",
-        tied=cfg.tie_word_embeddings, int8="ks" in cache, dtype=cfg.dtype,
-        K=B // Bc,
-    )
+    # ONE geometry source: the same _fused_dims the VMEM gate estimated with
+    # (cache dims are pad_* fixed points, so re-padding is the identity)
+    d = _fused_dims(cfg, B, Bc, Lk, Tmax, "ks" in cache)
+    assert (d.nL, d.Tmax, d.Lk, d.V) == (nL, Tmax, Lk, w["wlm"].shape[0]), (
+        d, cache["self_k_col"].shape, w["wlm"].shape)
     x = jnp.take(params["shared"], tokens, axis=0).astype(cfg.dtype)  # (B, D)
     sb = cache["self_bias_colT"][pos]  # (H, Tmax) f32
     sbias = jnp.broadcast_to(sb[None], (B, H, Tmax))

@@ -40,6 +40,33 @@ NEG_INF = -1e9
 _M_INIT = -1e30
 
 
+def flash_wins(attn_impl: str, lq: int, lk: int, capture: bool = False,
+               deterministic: bool = False) -> bool:
+    """Shared flash-vs-XLA dispatch policy (T5 and BERT towers route through
+    this). The capture path needs materialized probs (fid.py:335-341) so it
+    always falls back.
+
+    Measured on v5e: training fwd+bwd at L=384 flash is 1.25-1.3x XLA (the bwd
+    avoids re-materializing scores and the in-kernel PRNG avoids dropout mask
+    tensors: t5-base FiD 1.3x, bert-base retriever tower 1.25x), but
+    DETERMINISTIC forward-only at L<=256 flash is measurably SLOWER (t5 ~6% at
+    L=256, bert 0.66x at L=192/B=512 — XLA's fused softmax is already
+    bandwidth-optimal and flash pays padding + kernel overhead) — so inference
+    keeps XLA until the score tensor gets big enough that avoiding its HBM
+    round-trip wins."""
+    if capture:
+        return False
+    if attn_impl == "flash":
+        return True
+    if attn_impl != "auto":
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if not deterministic:  # training: fwd+bwd+dropout — flash wins from L>=128
+        return lq >= 128 or lk >= 1024
+    return lq >= 512 or lk >= 4096
+
+
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
