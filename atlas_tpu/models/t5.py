@@ -511,21 +511,40 @@ def cross_entropy(
 def _fused_dims(cfg: T5Config, Bq: int, Bc: int, Lk: int, max_len: int, int8: bool):
     """FusedDims for (query rows, cross rows) at RAW lengths; _build_fused_cache
     applies the same shared padding helpers, so the VMEM-gate estimate and the
-    real cache geometry cannot drift."""
+    real cache geometry cannot drift.
+
+    Stream-block sizes adapt to the VMEM budget: the cross-cache block
+    (Bc*I*blk_l, double-buffered in+out) dominates at large models — t5-large
+    bf16 at B=8, Lk=5120 is ~120MiB at blk_l=1024 but ~88MiB at blk_l=512
+    (same total bytes moved, 2x the cross phases) — so blocks shrink through a
+    fixed cascade until the estimate fits, and only then does the gate fall
+    back to the XLA scan step."""
     from atlas_tpu.ops.decode_fused import (
-        FusedDims, _pick_block, pad_lk, pad_tmax, pad_vocab,
+        FUSED_VMEM_BUDGET, FusedDims, _pick_block, fused_vmem_bytes, pad_lk,
+        pad_tmax, pad_vocab,
     )
 
     Lkp = pad_lk(Lk)
     Tmaxp = pad_tmax(max_len)
     Vp = pad_vocab(cfg.vocab_size)
-    return FusedDims(
-        nL=cfg.num_decoder_layers, B=Bq, D=cfg.d_model, H=cfg.num_heads,
-        Dh=cfg.d_kv, F=cfg.d_ff, V=Vp, Lk=Lkp, Tmax=Tmaxp,
-        blk_l=_pick_block(Lkp, 1024), blk_f=_pick_block(cfg.d_ff, 1024),
-        blk_v=_pick_block(Vp, 2048), gated=cfg.feed_forward_proj == "gated-gelu",
-        tied=cfg.tie_word_embeddings, int8=int8, dtype=cfg.dtype, K=Bq // Bc,
-    )
+
+    def mk(blk_l_t: int, blk_v_t: int):
+        return FusedDims(
+            nL=cfg.num_decoder_layers, B=Bq, D=cfg.d_model, H=cfg.num_heads,
+            Dh=cfg.d_kv, F=cfg.d_ff, V=Vp, Lk=Lkp, Tmax=Tmaxp,
+            blk_l=_pick_block(Lkp, blk_l_t), blk_f=_pick_block(cfg.d_ff, 1024),
+            blk_v=_pick_block(Vp, blk_v_t),
+            gated=cfg.feed_forward_proj == "gated-gelu",
+            tied=cfg.tie_word_embeddings, int8=int8, dtype=cfg.dtype,
+            K=Bq // Bc,
+        )
+
+    d = mk(1024, 2048)
+    for blk_l_t, blk_v_t in ((512, 2048), (512, 1024), (256, 1024)):
+        if fused_vmem_bytes(d) <= FUSED_VMEM_BUDGET:
+            break
+        d = mk(blk_l_t, blk_v_t)
+    return d
 
 
 def _fused_decode_ok(
@@ -561,11 +580,11 @@ def _fused_decode_ok(
     if (Bq * cfg.num_heads) % 8:
         return False
     if mode == "auto":
-        from atlas_tpu.ops.decode_fused import fused_vmem_bytes
+        from atlas_tpu.ops.decode_fused import FUSED_VMEM_BUDGET, fused_vmem_bytes
 
         int8 = getattr(cfg, "decode_cache_dtype", "bf16") == "int8"
-        d = _fused_dims(cfg, Bq, batch, Lk, max_len, int8)
-        if fused_vmem_bytes(d) > 108 * 1024 * 1024:
+        d = _fused_dims(cfg, Bq, batch, Lk, max_len, int8)  # block cascade inside
+        if fused_vmem_bytes(d) > FUSED_VMEM_BUDGET:
             return False
     return True
 

@@ -49,6 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e9
 
+# Auto-fusion VMEM budget (v5e has ~128MiB; headroom for Mosaic's own staging).
+# models/t5.py _fused_dims shrinks stream blocks to fit under this before the
+# gate gives up and falls back to the XLA scan step.
+FUSED_VMEM_BUDGET = 108 * 1024 * 1024
+
 
 class FusedDims(NamedTuple):
     """Static geometry of the fused step (hashable; drives phase layout).

@@ -95,23 +95,64 @@ def test_fused_beam_tokens_match_xla(cache_dtype):
 def test_auto_gate_geometry():
     """auto-mode gating: greedy-only, and a VMEM estimate that rejects shapes
     too big for v5e VMEM (checked pretending to be on TPU — the backend check
-    is bypassed by calling the estimate directly)."""
+    is bypassed by calling the estimate directly). _fused_dims shrinks stream
+    blocks through a cascade before giving up: t5-large bf16 only fits at
+    blk_l=512 (the cross-cache stream block dominates), while shapes that fit
+    at full blocks must keep them."""
     import jax.numpy as jnp
 
     from atlas_tpu.models.t5 import _fused_dims, t5_config_for
-    from atlas_tpu.ops.decode_fused import fused_vmem_bytes
+    from atlas_tpu.ops.decode_fused import FUSED_VMEM_BUDGET, fused_vmem_bytes
 
     base = t5_config_for("t5-base", dtype=jnp.bfloat16)
-    # serving greedy shapes fit
+    # serving greedy shapes fit at full stream blocks
     d = _fused_dims(base, 8, 8, 20 * 256, 32, True)
-    assert fused_vmem_bytes(d) <= 108 * 1024 * 1024
-    # a 3B-class reader (t5-xl dims) must fall back to the XLA scan step
+    assert fused_vmem_bytes(d) <= FUSED_VMEM_BUDGET
+    assert d.blk_l == 1024 and d.blk_v == 2048
+    # t5-large bf16 fits only via the block cascade
+    large = t5_config_for("t5-large", dtype=jnp.bfloat16)
+    d_lg = _fused_dims(large, 8, 8, 20 * 256, 32, False)
+    assert fused_vmem_bytes(d_lg) <= FUSED_VMEM_BUDGET
+    assert d_lg.blk_l == 512
+    # ... while t5-large int8 still fits at full blocks (no needless shrink)
+    d_lgi = _fused_dims(large, 8, 8, 20 * 256, 32, True)
+    assert d_lgi.blk_l == 1024
+    # a 3B-class reader (t5-xl dims) must fall back to the XLA scan step:
+    # the double-buffered weight stacks alone exceed VMEM at any block size
     import dataclasses
 
     big = dataclasses.replace(base, d_model=2048, d_ff=5120, num_heads=32,
                               d_kv=64, num_layers=24, num_decoder_layers=24)
     d_big = _fused_dims(big, 8, 8, 20 * 256, 32, True)
-    assert fused_vmem_bytes(d_big) > 108 * 1024 * 1024
+    assert fused_vmem_bytes(d_big) > FUSED_VMEM_BUDGET
+
+
+def test_fused_multiblock_cross_matches_xla():
+    """NC > 1 (cross cache walked in multiple stream blocks): Lk=1152 picks
+    blk_l=384, so the in-kernel running-softmax merge across cross blocks is
+    exercised in interpret mode (serving shapes hit NC=5-10 on chip)."""
+    from atlas_tpu.models.t5 import _fused_dims
+
+    cfg, params, _, _ = _setup("relu", True, "bf16", seed=3)
+    N, L = 2, 576
+    rng = np.random.RandomState(5)
+    ids = jnp.asarray(rng.randint(2, 384, (2, N, L)))
+    mask = np.ones((2, N, L), dtype=np.int32)
+    mask[1, 1, 200:] = 0
+    mask = jnp.asarray(mask)
+
+    d = _fused_dims(cfg, 2, 2, N * L, MAXLEN, False)
+    assert d.NC > 1, d
+
+    cfg_off = cfg.__class__(**{**cfg.__dict__, "decode_fused": "off"})
+    enc = fid_encode(params, cfg, ids, mask, deterministic=True)
+    enc_mask = mask.reshape(2, N * L)
+    cache_f = init_decode_cache(params, cfg, enc, enc_mask, MAXLEN)
+    cache_s = init_decode_cache(params, cfg_off, enc, enc_mask, MAXLEN)
+    tok0 = jnp.zeros((2,), jnp.int32)
+    lf, _ = t5_decode_step(params, cfg, tok0, jnp.int32(0), cache_f)
+    ls, _ = t5_decode_step(params, cfg_off, tok0, jnp.int32(0), cache_s)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(ls), atol=2e-3, rtol=1e-3)
 
 
 def test_auto_gate_beam_falls_back(monkeypatch):
