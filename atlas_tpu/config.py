@@ -82,6 +82,10 @@ class AtlasConfig:
     alpha: float = 1.0
     beta2: float = 0.999
     refresh_index: str = "-1"
+    # 0 = blocking refresh (reference parity: train.py:65-73 stalls every rank
+    # for the whole corpus pass). N > 0 spreads each refresh over ~N train steps
+    # (a few embed slabs ride along with every step; index/refresh.py).
+    refresh_overlap: int = 0
     shuffle: bool = False
     precision: str = "bf16"  # bf16 is native on TPU (reference default fp32)
     shard_optim: bool = False

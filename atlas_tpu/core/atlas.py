@@ -265,10 +265,7 @@ class Atlas:
 
     # ---------------------------------------------------------------- index build
 
-    def build_index(self, index, passages: Sequence[dict], embedder_batch_size: int, logger_=None) -> None:
-        """Embed the corpus in place (atlas.py:61-88 semantics) using the sharded
-        refresh pipeline: every device embeds its own index-shard rows in parallel
-        (index/refresh.py), so refresh wall time scales with 1/n_devices."""
+    def _get_corpus_embedder(self, index, passages: Sequence[dict], embedder_batch_size: int):
         from atlas_tpu.index.refresh import ShardedCorpusEmbedder
 
         embedder = getattr(self, "_corpus_embedder", None)
@@ -278,7 +275,28 @@ class Atlas:
             per_dev = max(1, embedder_batch_size // max(index.n_devices, 1))
             embedder = ShardedCorpusEmbedder(self, index, passages, batch_rows=per_dev)
             self._corpus_embedder = embedder
-        embedder.refresh()
+        return embedder
+
+    def build_index(self, index, passages: Sequence[dict], embedder_batch_size: int, logger_=None) -> None:
+        """Embed the corpus in place (atlas.py:61-88 semantics) using the sharded
+        refresh pipeline: every device embeds its own index-shard rows in parallel
+        (index/refresh.py), so refresh wall time scales with 1/n_devices."""
+        self._get_corpus_embedder(index, passages, embedder_batch_size).refresh()
+
+    def start_index_refresh(self, index, passages: Sequence[dict], embedder_batch_size: int) -> None:
+        """Begin an incremental (train-overlapped) refresh; see index/refresh.py.
+        Retriever params are snapshotted now, matching the reference's frozen fp16
+        rebuild copy (atlas.py:54-59)."""
+        self._get_corpus_embedder(index, passages, embedder_batch_size).start_refresh()
+
+    def advance_index_refresh(self, k: int = 1) -> bool:
+        """Run up to k embed slabs of the in-flight refresh; True when complete."""
+        return self._corpus_embedder.advance(k)
+
+    @property
+    def index_refresh_in_progress(self) -> bool:
+        emb = getattr(self, "_corpus_embedder", None)
+        return emb is not None and emb.in_progress
 
     # ------------------------------------------------------------------- forward
 

@@ -136,6 +136,7 @@ def train(
 
     total = max_steps if max_steps is not None else cfg.total_steps
     batch_placement_checked = False
+    refresh_slabs_per_step = 1  # set when an overlapped refresh starts
     while step < total:
         made_progress = False
         data_iterator = task.data_iterator(
@@ -153,13 +154,33 @@ def train(
             iter_stats = {}
             if not cfg.use_file_passages and index_refresh_scheduler.is_time_to_refresh(step):
                 if not (step == 0 and cfg.load_index_path is not None):
-                    indexing_start = time.time()
                     # refresh uses the CURRENT retriever params
                     atlas.retriever_params = state.params["retriever"]
-                    atlas.build_index(index, passages, cfg.per_gpu_embedder_batch_size, logger)
-                    iter_stats["runtime/indexing"] = (time.time() - indexing_start, 1)
-                    if cfg.save_index_path is not None:
-                        save_embeddings_and_index(index, cfg)
+                    if cfg.refresh_overlap > 0:
+                        # overlapped refresh: snapshot params now, embed a few
+                        # slabs per train step instead of stalling every rank for
+                        # the whole corpus pass (reference train.py:65-73)
+                        if atlas.index_refresh_in_progress:
+                            logger.warning(
+                                "step %d: refresh due but the previous overlapped "
+                                "refresh is still in flight — continuing it "
+                                "(raise refresh interval or lower refresh_overlap)",
+                                step,
+                            )
+                        else:
+                            atlas.start_index_refresh(
+                                index, passages, cfg.per_gpu_embedder_batch_size
+                            )
+                            refresh_slabs_per_step = max(
+                                1,
+                                -(-atlas._corpus_embedder.n_steps // cfg.refresh_overlap),
+                            )
+                    else:
+                        indexing_start = time.time()
+                        atlas.build_index(index, passages, cfg.per_gpu_embedder_batch_size, logger)
+                        iter_stats["runtime/indexing"] = (time.time() - indexing_start, 1)
+                        if cfg.save_index_path is not None:
+                            save_embeddings_and_index(index, cfg)
             step += 1
             if profile_range is not None and step == profile_range[0]:
                 trace_dir = os.path.join(cfg.checkpoint_dir, cfg.name, "traces")
@@ -190,6 +211,18 @@ def train(
                 batch_placement_checked = True
             train_retriever = cfg.train_retriever and step > cfg.freeze_retriever_steps
             state, metrics = train_step(state, device_batch, rng, train_retriever)
+
+            if atlas.index_refresh_in_progress:
+                # ride a few refresh slabs on this step: the train step above is
+                # already dispatched, and the NEXT slab's tokenization ran on the
+                # embedder's worker thread during the previous step's device time
+                indexing_start = time.time()
+                done = atlas.advance_index_refresh(refresh_slabs_per_step)
+                iter_stats["runtime/indexing"] = (time.time() - indexing_start, 1)
+                if done:
+                    logger.info("overlapped index refresh completed at step %d", step)
+                    if cfg.save_index_path is not None:
+                        save_embeddings_and_index(index, cfg)
 
             jax.block_until_ready(metrics["loss/train_loss"])
             if profile_range is not None and step == profile_range[1]:
@@ -240,6 +273,13 @@ def train(
                 f"dp rows); reduce per_gpu_batch_size or provide more examples"
             )
 
+    if atlas.index_refresh_in_progress:
+        # don't leave a mixed-version index behind at exit: finish the in-flight
+        # overlapped refresh so final save/eval see one retriever's corpus
+        logger.info("finishing in-flight overlapped refresh at training end")
+        atlas.advance_index_refresh(atlas._corpus_embedder.n_steps)
+        if cfg.save_index_path is not None:
+            save_embeddings_and_index(index, cfg)
     atlas.reader_params = state.params["reader"]
     atlas.retriever_params = state.params["retriever"]
     return atlas, state, step

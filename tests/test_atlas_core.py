@@ -217,3 +217,52 @@ def test_refresh_retrains_approx_index(setup):
     s2, g2 = fresh.device_search(q, 3)
     assert np.array_equal(np.asarray(g1), np.asarray(g2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5)
+
+
+def test_overlapped_refresh_matches_blocking(setup):
+    """start_refresh/advance (index/refresh.py incremental path) must land on
+    exactly the blocking refresh's embeddings, expose a searchable mixed-version
+    index mid-window, and touch only the advanced row ranges per advance."""
+    atlas, _, passages = setup
+    mesh = make_mesh(4, 2)
+    index = DistributedIndex(mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=atlas.retriever_cfg.hidden_size)
+    atlas._corpus_embedder = None
+    atlas.build_index(index, passages, embedder_batch_size=16)
+    base = np.asarray(index.embeddings).copy()
+
+    old_params = atlas.retriever_params
+    try:
+        # perturb the retriever so refreshed rows are distinguishable from base
+        atlas.retriever_params = jax.tree.map(
+            lambda x: x + 0.05 * jnp.ones_like(x) if x.ndim >= 2 else x, old_params)
+        emb = atlas._get_corpus_embedder(index, passages, 16)
+        emb.start_refresh()
+        assert atlas.index_refresh_in_progress
+        assert emb.n_steps > 1, "fixture too small to exercise partial progress"
+        done = atlas.advance_index_refresh(1)
+        assert not done and atlas.index_refresh_in_progress
+
+        # mid-window: first slab of shard 0 re-embedded, its tail rows untouched
+        mid = np.asarray(index.embeddings)
+        b, sr = emb.b, emb.shard_rows
+        assert not np.allclose(mid[:b], base[:b])
+        np.testing.assert_array_equal(mid[b:sr], base[b:sr])
+        # and the mixed-version index is searchable between advances
+        q = index.embeddings[:2].astype(jnp.float32)
+        scores, gids = index.device_search(q, 3)
+        assert np.asarray(gids).shape == (2, 3)
+
+        assert atlas.advance_index_refresh(emb.n_steps)  # finish
+        assert not atlas.index_refresh_in_progress
+        overlapped = np.asarray(index.embeddings).copy()
+
+        # blocking refresh with the same params bit-matches the incremental one
+        index2 = DistributedIndex(mesh=mesh, dtype=jnp.float32)
+        index2.init_embeddings(passages, dim=atlas.retriever_cfg.hidden_size)
+        atlas._corpus_embedder = None
+        atlas.build_index(index2, passages, embedder_batch_size=16)
+        np.testing.assert_array_equal(overlapped, np.asarray(index2.embeddings))
+    finally:
+        atlas.retriever_params = old_params
+        atlas._corpus_embedder = None

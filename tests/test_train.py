@@ -235,3 +235,44 @@ def test_orbax_checkpoint_roundtrip(setup, tmp_path):
     for w, g in zip(jax.tree.leaves(state.opt_state["reader"]),
                     jax.tree.leaves(restored["reader"])):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=0, rtol=0)
+
+
+def test_overlapped_refresh_in_loop(setup, tmp_path):
+    """--refresh_overlap N: the loop starts the scheduled refresh but keeps
+    training, riding a few embed slabs on each step; the refresh completes
+    within ~N steps (or is force-finished at loop exit) and the index ends on
+    the snapshot-params corpus."""
+    import dataclasses
+
+    from atlas_tpu.train.loop import train as train_loop
+
+    atlas, index, cfg0 = setup
+    data_path = tmp_path / "t.jsonl"
+    with open(data_path, "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"question": f"q{i}?", "answers": [f"a{i}"]}) + "\n")
+    cfg = dataclasses.replace(
+        cfg0, task="qa", refresh_index="3", refresh_overlap=2,
+        per_gpu_embedder_batch_size=8,  # 1 row/device/slab -> several slabs
+        train_data=[str(data_path)], total_steps=6, log_freq=100, eval_freq=100,
+        save_freq=100, checkpoint_dir=str(tmp_path), name="overlap",
+        lr_retriever=5e-2, generation_max_length=8,
+    )
+    atlas._corpus_embedder = None
+    emb_before = np.asarray(jax.device_get(index.embeddings[:8]))
+
+    def _no_blocking(*a, **k):
+        raise AssertionError("blocking build_index used despite refresh_overlap")
+
+    atlas.build_index = _no_blocking  # instance shadow; removed in finally
+    try:
+        _, state, step = train_loop(atlas, index, list(tiny_passages(24)), 0, cfg,
+                                    tmp_path / "overlap")
+    finally:
+        del atlas.build_index
+    assert step == 6
+    assert not atlas.index_refresh_in_progress  # finished or force-finished
+    assert atlas._corpus_embedder.n_steps > 1  # the refresh really was spread
+    emb_after = np.asarray(jax.device_get(index.embeddings[:8]))
+    assert not np.allclose(emb_before, emb_after, atol=1e-5)
+    atlas._corpus_embedder = None
