@@ -528,22 +528,32 @@ def _fused_dims(cfg: T5Config, Bq: int, Bc: int, Lk: int, max_len: int, int8: bo
     Tmaxp = pad_tmax(max_len)
     Vp = pad_vocab(cfg.vocab_size)
 
-    def mk(blk_l_t: int, blk_v_t: int):
+    I = cfg.num_heads * cfg.d_kv
+
+    def mk(blk_l_t: int, blk_v_t: int, blk_f_t: int, i_div: int):
+        blk_i = 0 if i_div == 1 else _pick_block(I, I // i_div)
         return FusedDims(
             nL=cfg.num_decoder_layers, B=Bq, D=cfg.d_model, H=cfg.num_heads,
             Dh=cfg.d_kv, F=cfg.d_ff, V=Vp, Lk=Lkp, Tmax=Tmaxp,
-            blk_l=_pick_block(Lkp, blk_l_t), blk_f=_pick_block(cfg.d_ff, 1024),
+            blk_l=_pick_block(Lkp, blk_l_t),
+            blk_f=_pick_block(cfg.d_ff, blk_f_t),
             blk_v=_pick_block(Vp, blk_v_t),
             gated=cfg.feed_forward_proj == "gated-gelu",
             tied=cfg.tie_word_embeddings, int8=int8, dtype=cfg.dtype,
-            K=Bq // Bc,
+            K=Bq // Bc, blk_q3=blk_i, blk_i=blk_i,
         )
 
-    d = mk(1024, 2048)
-    for blk_l_t, blk_v_t in ((512, 2048), (512, 1024), (256, 1024)):
+    # later stages also stream the attention projections in I/i_div blocks —
+    # what lets a 3B-class reader (D = I = 2048) under the budget at all
+    d = mk(1024, 2048, 1024, 1)
+    for blk_l_t, blk_v_t, blk_f_t, i_div in (
+        (512, 2048, 1024, 1), (512, 1024, 1024, 1), (256, 1024, 1024, 1),
+        (256, 1024, 512, 2), (256, 1024, 512, 4), (128, 1024, 512, 4),
+        (128, 512, 512, 8),
+    ):
         if fused_vmem_bytes(d) <= FUSED_VMEM_BUDGET:
             break
-        d = mk(blk_l_t, blk_v_t)
+        d = mk(blk_l_t, blk_v_t, blk_f_t, i_div)
     return d
 
 

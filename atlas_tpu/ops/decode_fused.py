@@ -7,9 +7,14 @@ ops each paying fixed dispatch/ramp cost, and every pallas_call adds ~13-20 us
 launch overhead (which is why streaming INDIVIDUAL matmuls through Pallas
 measured neutral — ops/decode_matmul.py docstring). The only structure that
 removes both is ONE kernel per token: a flat sequential grid that walks
-  [qkv | self-attn | self_o+cross_q | cross-attn x NC | cross_o | ffn x NF]
+  [qkv x NQ | self-attn | self_o x NP | cross_q x NP | cross-attn x NC |
+   finalize+cross_o x NP | ffn x NF]
 for every layer, then lm-head blocks, carrying the residual stream in VMEM
-scratch. Weights and KV caches stream through the normal Pallas block pipeline.
+scratch. Weights and KV caches stream through the normal Pallas block pipeline;
+small models run NQ = NP = 1 (whole projection matrices per phase), 3B-class
+readers (D = I = 2048) stream the attention projections in blocks like the FFN
+(blk_q3 chunks qkv's output rows; blk_i chunks cross_q's output rows and
+self_o/cross_o's contraction columns, partials accumulating into the residual).
 
 Design rules (learned against the Mosaic verifier):
 - The residual stream lives TRANSPOSED, (D, B): activations are columns. Every
@@ -84,10 +89,26 @@ class FusedDims(NamedTuple):
     int8: bool
     dtype: Any  # compute dtype
     K: int = 1  # beams per cross row
+    # Attention-projection stream blocks (0 = whole matrix, the small-model
+    # geometry). For 3B-class readers (D = I = 2048) the six full (D, I)
+    # projections double-buffered are ~96MiB of VMEM on their own, so they
+    # stream in blocks like the FFN: blk_q3 chunks the qkv stack's 3I output
+    # rows, blk_i chunks cross_q's I output rows AND self_o/cross_o's I
+    # contraction columns (partial products accumulate into the residual).
+    blk_q3: int = 0
+    blk_i: int = 0
 
     @property
     def I(self) -> int:  # noqa: E743 - inner dim
         return self.H * self.Dh
+
+    @property
+    def BQ3(self) -> int:  # qkv row-block (over the 3I axis)
+        return self.blk_q3 or 3 * self.I
+
+    @property
+    def BI(self) -> int:  # projection block (over the I axis)
+        return self.blk_i or self.I
 
     @property
     def Bc(self) -> int:  # cross-cache rows
@@ -106,30 +127,49 @@ class FusedDims(NamedTuple):
         return self.V // self.blk_v
 
     @property
+    def NQ(self) -> int:  # qkv sub-phases
+        return 3 * self.I // self.BQ3
+
+    @property
+    def NP(self) -> int:  # self_o / cross_q / cross_o sub-phases
+        return self.I // self.BI
+
+    @property
     def NPH(self) -> int:
-        # qkv, self, proj, cross x NC, cross-fin, ffn x NF
-        return 3 + self.NC + 1 + self.NF
+        # qkv x NQ, self, self_o x NP, cross_q x NP, cross x NC,
+        # fin/cross_o x NP, ffn x NF
+        return self.NQ + 1 + 3 * self.NP + self.NC + self.NF
 
     @property
     def total_steps(self) -> int:
         return self.nL * self.NPH + self.NV
 
     # phase ids within a layer
-    PH_QKV = 0
-    PH_SELF = 1
-    PH_PROJ = 2
+    PH_QKV0 = 0
+
+    @property
+    def PH_SELF(self) -> int:
+        return self.NQ
+
+    @property
+    def PH_SO0(self) -> int:  # self_o contraction sub-phases
+        return self.NQ + 1
+
+    @property
+    def PH_CQ0(self) -> int:  # cross_q output sub-phases
+        return self.NQ + 1 + self.NP
 
     @property
     def PH_CROSS0(self) -> int:
-        return 3
+        return self.NQ + 1 + 2 * self.NP
 
     @property
-    def PH_FIN(self) -> int:
-        return 3 + self.NC
+    def PH_FIN0(self) -> int:  # finalize + cross_o contraction sub-phases
+        return self.PH_CROSS0 + self.NC
 
     @property
     def PH_FFN0(self) -> int:
-        return 4 + self.NC
+        return self.PH_FIN0 + self.NP
 
 
 def _pick_block(n: int, target: int) -> int:
@@ -164,7 +204,8 @@ def fused_vmem_bytes(d: FusedDims) -> int:
     dt = jnp.dtype(d.dtype).itemsize
     cs = 1 if d.int8 else dt
     I, D = d.I, d.D
-    w = (3 * I * D + 3 * D * I) * dt * 2  # qkv + self_o/cross_q/cross_o
+    # qkv row block + self_o/cross_o contraction blocks + cross_q row block
+    w = (d.BQ3 * D + 3 * D * d.BI) * dt * 2
     w += ((2 + d.gated) * d.blk_f * D + d.blk_v * D) * dt * 2
     self_b = d.B * I * d.Tmax * dt * 8  # k+v, in+out buffers, double-buffered
     cross_b = d.Bc * I * d.blk_l * cs * 4
@@ -244,19 +285,19 @@ def _make_kernel(d: FusedDims):
         pos_ref,  # (1,) int32
         # inputs (blocked)
         xT_ref,  # (D, B) embedded token columns
-        wqkvT_ref,  # (1, 3I, D)
+        wqkvT_ref,  # (1, BQ3, D) qkv row block
         lnsT_ref,  # (1, D, 8) cols 0..3 = ln1, ln2, ln3, final_ln
         sk_ref,  # (1, B*I, Tmax)
         sv_ref,  # (1, B*I, Tmax)
         sbias_ref,  # (B, H, Tmax) f32 (rel-pos row + causal mask for this pos)
-        wsoT_ref,  # (1, D, I) self_o transposed
-        wcqT_ref,  # (1, I, D) cross_q transposed
+        wsoT_ref,  # (1, D, BI) self_o transposed, contraction block
+        wcqT_ref,  # (1, BI, D) cross_q transposed, row block
         ck_ref,  # (1, Bc*I, blk_l) cache codes (int8 or compute dtype)
         cv_ref,  # (1, Bc*I, blk_l)
         ks_ref,  # (1, Bc, H, blk_l) f32 (int8 only; dummy otherwise)
         vs_ref,  # (1, Bc, H, blk_l) f32
         cbias_ref,  # (Bc, blk_l) f32
-        wcoT_ref,  # (1, D, I) cross_o transposed
+        wcoT_ref,  # (1, D, BI) cross_o transposed, contraction block
         wiT_ref,  # (1, blk_f, D)
         wi1T_ref,  # (1, blk_f, D) (gated only; dummy otherwise)
         woT_ref,  # (1, D, blk_f)
@@ -292,11 +333,15 @@ def _make_kernel(d: FusedDims):
         def _init():
             xT_scr[:] = xT_ref[:].astype(jnp.float32)
 
-        # ---------------- phase 0: rms(ln1) -> fused qkv ----------------
-        @pl.when(ph == d.PH_QKV)
-        def _qkv():
-            hT = _rms_cols(xT_scr[:], ln_col(0), eps)  # (D, B)
-            qkvT_scr[:] = mm(wqkvT_ref[0], hT).astype(cdt)  # (3I, B)
+        # ------------- phases 0..NQ-1: rms(ln1) -> qkv row blocks -------
+        for j in range(d.NQ):
+            @pl.when(ph == d.PH_QKV0 + j)
+            def _qkv(j=j):
+                if j == 0:
+                    hT_scr[:] = _rms_cols(xT_scr[:], ln_col(0), eps)  # (D, B)
+                qkvT_scr[j * d.BQ3 : (j + 1) * d.BQ3] = mm(
+                    wqkvT_ref[0], hT_scr[:]
+                ).astype(cdt)
 
         # ---------------- phase 1: self attention + cache update --------
         @pl.when(ph == d.PH_SELF)
@@ -325,19 +370,30 @@ def _make_kernel(d: FusedDims):
                 out_cols.append(_values_b(sv_new, p, d))  # (I, 1) f32
             outT_scr[:] = _put_lanes(out_cols, B)
 
-        # ---------------- phase 2: self_o, rms(ln2), cross q ------------
-        @pl.when(ph == d.PH_PROJ)
-        def _proj():
-            xT = xT_scr[:] + mm(wsoT_ref[0], outT_scr[:].astype(cdt))  # (D, B)
-            xT_scr[:] = xT
-            hT = _rms_cols(xT, ln_col(1), eps)
-            qkvT_scr[:I] = mm(wcqT_ref[0], hT).astype(cdt)  # (I, B) cross queries
-            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-            l_scr[:] = jnp.zeros_like(l_scr)
-            acc_scr[:] = jnp.zeros_like(acc_scr)
+        # ------- phases SO0..: self_o contraction blocks -> residual ----
+        for j in range(d.NP):
+            @pl.when(ph == d.PH_SO0 + j)
+            def _self_o(j=j):
+                out_blk = outT_scr[j * d.BI : (j + 1) * d.BI].astype(cdt)
+                xT = xT_scr[:] + mm(wsoT_ref[0], out_blk)  # partial (D, B)
+                xT_scr[:] = xT
+                if j == d.NP - 1:
+                    hT_scr[:] = _rms_cols(xT, ln_col(1), eps)
 
-        # ---------------- phases 3..3+NC-1: cross attention (flash) -----
-        @pl.when((ph >= d.PH_CROSS0) & (ph < d.PH_FIN))
+        # ------- phases CQ0..: cross-query row blocks -------------------
+        for j in range(d.NP):
+            @pl.when(ph == d.PH_CQ0 + j)
+            def _cross_q(j=j):
+                qkvT_scr[j * d.BI : (j + 1) * d.BI] = mm(
+                    wcqT_ref[0], hT_scr[:]
+                ).astype(cdt)
+                if j == d.NP - 1:
+                    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+                    l_scr[:] = jnp.zeros_like(l_scr)
+                    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        # ---------------- cross-attention phases x NC (flash) -----------
+        @pl.when((ph >= d.PH_CROSS0) & (ph < d.PH_FIN0))
         def _cross():
             qT = qkvT_scr[:I]
             lane_h = jax.lax.broadcasted_iota(jnp.int32, (H, B), 1)
@@ -376,17 +432,22 @@ def _make_kernel(d: FusedDims):
                     lane_i == b, jnp.broadcast_to(acc_new, (I, B)), acc_scr[:]
                 )
 
-        # ---------------- phase 3+NC: finalize, cross_o, rms(ln3) -------
-        @pl.when(ph == d.PH_FIN)
-        def _fin():
-            denom = jnp.maximum(l_scr[:], 1e-30)  # (H, B)
-            denom_i = jnp.broadcast_to(
-                denom.reshape(H, 1, B), (H, Dh, B)
-            ).reshape(I, B)
-            outT = acc_scr[:] / denom_i  # (I, B) f32
-            xT = xT_scr[:] + mm(wcoT_ref[0], outT.astype(cdt))
-            xT_scr[:] = xT
-            hT_scr[:] = _rms_cols(xT, ln_col(2), eps)
+        # ------- phases FIN0..: finalize, cross_o blocks, rms(ln3) ------
+        for j in range(d.NP):
+            @pl.when(ph == d.PH_FIN0 + j)
+            def _fin(j=j):
+                if j == 0:
+                    denom = jnp.maximum(l_scr[:], 1e-30)  # (H, B)
+                    denom_i = jnp.broadcast_to(
+                        denom.reshape(H, 1, B), (H, Dh, B)
+                    ).reshape(I, B)
+                    # outT_scr is free again (self_o consumed it)
+                    outT_scr[:] = acc_scr[:] / denom_i  # (I, B) f32
+                out_blk = outT_scr[j * d.BI : (j + 1) * d.BI].astype(cdt)
+                xT = xT_scr[:] + mm(wcoT_ref[0], out_blk)  # partial (D, B)
+                xT_scr[:] = xT
+                if j == d.NP - 1:
+                    hT_scr[:] = _rms_cols(xT, ln_col(2), eps)
 
         # ---------------- phases 4+NC..: FFN blocks ---------------------
         @pl.when((ph >= d.PH_FFN0) & (ph < d.NPH))
@@ -434,6 +495,22 @@ def _index_maps(d: FusedDims):
     def vocab_blk(s):
         return jnp.clip(s - d.nL * NPH, 0, d.NV - 1)
 
+    def qkv_blk(s):
+        l, ph = _split_lp(s, d)
+        return jnp.clip(ph - d.PH_QKV0, 0, d.NQ - 1)
+
+    def so_blk(s):
+        l, ph = _split_lp(s, d)
+        return jnp.clip(ph - d.PH_SO0, 0, d.NP - 1)
+
+    def cq_blk(s):
+        l, ph = _split_lp(s, d)
+        return jnp.clip(ph - d.PH_CQ0, 0, d.NP - 1)
+
+    def co_blk(s):
+        l, ph = _split_lp(s, d)
+        return jnp.clip(ph - d.PH_FIN0, 0, d.NP - 1)
+
     return {
         "full2d": lambda s, p: (0, 0),
         "full3d": lambda s, p: (0, 0, 0),
@@ -442,6 +519,10 @@ def _index_maps(d: FusedDims):
         "ck": lambda s, p: (layer(s), 0, cross_blk(s)),
         "kscale": lambda s, p: (layer(s), 0, 0, cross_blk(s)),
         "cbias": lambda s, p: (0, cross_blk(s)),
+        "wqkv": lambda s, p: (layer(s), qkv_blk(s), 0),
+        "wso": lambda s, p: (layer(s), 0, so_blk(s)),
+        "wcq": lambda s, p: (layer(s), cq_blk(s), 0),
+        "wco": lambda s, p: (layer(s), 0, co_blk(s)),
         "wi": lambda s, p: (layer(s), ffn_blk(s), 0),
         "wo": lambda s, p: (layer(s), 0, ffn_blk(s)),
         "wlm": lambda s, p: (vocab_blk(s), 0),
@@ -473,13 +554,13 @@ def fused_decode_step(
     B, Bc, D, I, H = d.B, d.Bc, d.D, d.I, d.H
     specs = [
         pl.BlockSpec((D, B), im["full2d"]),
-        pl.BlockSpec((1, 3 * I, D), im["layer3d"]),
+        pl.BlockSpec((1, d.BQ3, D), im["wqkv"]),
         pl.BlockSpec((1, D, 8), im["layer3d"]),
         pl.BlockSpec((1, B * I, d.Tmax), im["layer3d"]),
         pl.BlockSpec((1, B * I, d.Tmax), im["layer3d"]),
         pl.BlockSpec((B, H, d.Tmax), im["full3d"]),
-        pl.BlockSpec((1, D, I), im["layer3d"]),
-        pl.BlockSpec((1, I, D), im["layer3d"]),
+        pl.BlockSpec((1, D, d.BI), im["wso"]),
+        pl.BlockSpec((1, d.BI, D), im["wcq"]),
         pl.BlockSpec((1, Bc * I, d.blk_l), im["ck"]),
         pl.BlockSpec((1, Bc * I, d.blk_l), im["ck"]),
         pl.BlockSpec((1, Bc, H, d.blk_l), im["kscale"]) if d.int8
@@ -487,7 +568,7 @@ def fused_decode_step(
         pl.BlockSpec((1, Bc, H, d.blk_l), im["kscale"]) if d.int8
         else pl.BlockSpec((1, 8, 128), im["full3d"]),
         pl.BlockSpec((Bc, d.blk_l), im["cbias"]),
-        pl.BlockSpec((1, D, I), im["layer3d"]),
+        pl.BlockSpec((1, D, d.BI), im["wco"]),
         pl.BlockSpec((1, d.blk_f, D), im["wi"]),
         pl.BlockSpec((1, d.blk_f, D), im["wi"]) if d.gated
         else pl.BlockSpec((1, 8, 128), im["full3d"]),

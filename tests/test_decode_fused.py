@@ -117,13 +117,17 @@ def test_auto_gate_geometry():
     # ... while t5-large int8 still fits at full blocks (no needless shrink)
     d_lgi = _fused_dims(large, 8, 8, 20 * 256, 32, True)
     assert d_lgi.blk_l == 1024
-    # a 3B-class reader (t5-xl dims) must fall back to the XLA scan step:
-    # the double-buffered weight stacks alone exceed VMEM at any block size
-    import dataclasses
+    # a 3B reader (t5-xl) fits via blocked attention projections (NQ/NP > 1)
+    from atlas_tpu.models.t5 import t5_config_for as _cfg_for
 
-    big = dataclasses.replace(base, d_model=2048, d_ff=5120, num_heads=32,
-                              d_kv=64, num_layers=24, num_decoder_layers=24)
-    d_big = _fused_dims(big, 8, 8, 20 * 256, 32, True)
+    xl = _cfg_for("google/t5-xl-lm-adapt", dtype=jnp.bfloat16)
+    d_xl = _fused_dims(xl, 8, 8, 20 * 256, 32, True)
+    assert fused_vmem_bytes(d_xl) <= FUSED_VMEM_BUDGET
+    assert d_xl.blk_i and d_xl.NP > 1
+    # an 11B reader (t5-xxl dims) still falls back: the per-layer self cache
+    # block alone exceeds the budget at any stream-block size
+    xxl = _cfg_for("google/t5-xxl-lm-adapt", dtype=jnp.bfloat16)
+    d_big = _fused_dims(xxl, 8, 8, 20 * 256, 32, True)
     assert fused_vmem_bytes(d_big) > FUSED_VMEM_BUDGET
 
 
@@ -167,3 +171,48 @@ def test_auto_gate_beam_falls_back(monkeypatch):
     assert _fused_decode_ok(cfg, 8, None, 256, 32)
     assert _fused_decode_ok(cfg, 8, 8, 256, 32)
     assert not _fused_decode_ok(cfg, 8, 32, 256, 32)
+
+
+@pytest.mark.parametrize("cache_dtype", ["bf16", "int8"])
+def test_fused_blocked_projections_match_xla(cache_dtype, monkeypatch):
+    """NQ > 1 / NP > 1 (attention projections streamed in blocks — the 3B-reader
+    geometry): qkv row blocks, cross_q row blocks, and self_o/cross_o partial
+    contractions accumulating into the residual must reproduce the XLA step.
+    Forced here by pinning blk_q3 = blk_i = 128 on an I=256 config."""
+    import atlas_tpu.models.t5 as t5mod
+
+    cfg = T5Config(
+        vocab_size=384, d_model=128, d_kv=64, d_ff=256, num_layers=2,
+        num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, dropout_rate=0.0,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        dtype=jnp.float32, decode_cache_dtype=cache_dtype, decode_fused="on",
+    )
+    real = t5mod._fused_dims
+
+    def forced(*a, **kw):
+        return real(*a, **kw)._replace(blk_q3=128, blk_i=128)
+
+    monkeypatch.setattr(t5mod, "_fused_dims", forced)
+    params = init_t5(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(4)
+    ids = jnp.asarray(rng.randint(2, 384, (B, N, L)))
+    mask = np.ones((B, N, L), dtype=np.int32)
+    mask[0, 1, 12:] = 0
+    mask = jnp.asarray(mask)
+    cfg_off = cfg.__class__(**{**cfg.__dict__, "decode_fused": "off"})
+
+    enc = fid_encode(params, cfg, ids, mask, deterministic=True)
+    enc_mask = mask.reshape(B, N * L)
+    cache_f = init_decode_cache(params, cfg, enc, enc_mask, MAXLEN)
+    d = t5mod._fused_dims(cfg, B, B, N * L, MAXLEN, cache_dtype == "int8")
+    assert d.NQ == 6 and d.NP == 2, d
+    cache_s = init_decode_cache(params, cfg_off, enc, enc_mask, MAXLEN)
+    tok0 = jnp.zeros((B,), jnp.int32)
+    lf, cache_f = t5_decode_step(params, cfg, tok0, jnp.int32(0), cache_f)
+    ls, cache_s = t5_decode_step(params, cfg_off, tok0, jnp.int32(0), cache_s)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(ls), atol=2e-3, rtol=1e-3)
+    tok1 = jnp.asarray(np.argmax(np.asarray(ls), -1), jnp.int32)
+    lf2, _ = t5_decode_step(params, cfg, tok1, jnp.int32(1), cache_f)
+    ls2, _ = t5_decode_step(params, cfg_off, tok1, jnp.int32(1), cache_s)
+    np.testing.assert_allclose(np.asarray(lf2), np.asarray(ls2), atol=2e-3, rtol=1e-3)

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """One-process A/B: greedy decode fused kernel vs XLA scan step, FiD at
-B=8, N=20, L=256, gen 32. Model name via argv (default t5-base):
+B=8, N=20, L=256, gen 32. Argv: model [n_context] [cache_dtypes,csv]:
 
   PYTHONPATH=/root/repo:/root/.axon_site python -u tools/bench_greedy_fused.py t5-large
+  ... tools/bench_greedy_fused.py google/t5-xl-lm-adapt 20 int8
 """
 
 import dataclasses
@@ -19,14 +20,20 @@ from atlas_tpu.models.t5 import init_t5, t5_config_for
 B, N, L, GEN = 8, 20, 256, 32
 ITERS = 10
 MODEL = sys.argv[1] if len(sys.argv) > 1 else "t5-base"
+if len(sys.argv) > 2:
+    N = int(sys.argv[2])
+CACHE_DTYPES = sys.argv[3].split(",") if len(sys.argv) > 3 else ["int8", "bf16"]
 
 
 def run(cache_dtype, fused):
     cfg = t5_config_for(MODEL, dtype=jnp.bfloat16)
     cfg = dataclasses.replace(cfg, dropout_rate=0.0, decode_cache_dtype=cache_dtype,
                               decode_fused="auto" if fused else "off")
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
-                          init_t5(jax.random.PRNGKey(0), cfg))
+    # init+cast under one jit: XLA frees each fp32 leaf after its cast, so a
+    # 3B model peaks ~6GB instead of ~17GB (fp32 tree + bf16 copy both live)
+    params = jax.jit(lambda k: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), init_t5(k, cfg)
+    ))(jax.random.PRNGKey(0))
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, N, L), 0, 32000)
     mask = jnp.ones((B, N, L), jnp.int32)
     f = jax.jit(lambda p, i, m: greedy_generate(p, cfg, i, m, max_length=GEN))
@@ -38,12 +45,12 @@ def run(cache_dtype, fused):
 
 
 def main():
-    for cache_dtype in ("int8", "bf16"):
+    for cache_dtype in CACHE_DTYPES:
         ms_off, tok_off = run(cache_dtype, fused=False)
         ms_on, tok_on = run(cache_dtype, fused=True)
         match = bool((tok_off == tok_on).all())
-        print(f"{MODEL} greedy {cache_dtype}: fused {ms_on:.1f} ms/gen vs xla "
-              f"{ms_off:.1f} ({ms_off / ms_on:.2f}x), tokens_match={match}",
+        print(f"{MODEL} N={N} greedy {cache_dtype}: fused {ms_on:.1f} ms/gen vs "
+              f"xla {ms_off:.1f} ({ms_off / ms_on:.2f}x), tokens_match={match}",
               flush=True)
 
 
