@@ -181,6 +181,11 @@ class AtlasConfig:
     # Whole-decode-step fused Pallas kernel (ops/decode_fused.py): "auto" = on
     # for TPU greedy decoding when shapes allow, "on"/"off" force it.
     decode_fused: str = "auto"
+    # Weight-only quantization for the fused decode step: "int8" streams the
+    # decoder weight stacks as int8 + per-output-channel scales (halves the
+    # weight HBM read that bounds per-token latency on large readers; logits
+    # shift by the quantization error). Fused path only.
+    decode_weights: str = "bf16"
     # Gradient-checkpoint recompute policy: "full" (lowest memory) or "dots"
     # (save matmul outputs, recompute elementwise — ~3% faster step on v5e).
     remat_policy: str = "full"
@@ -226,6 +231,7 @@ class AtlasConfig:
         "attn_impl": ["auto", "flash", "xla"],
         "decode_kv_cache": ["bf16", "int8"],
         "decode_fused": ["auto", "on", "off"],
+        "decode_weights": ["bf16", "int8"],
         "remat_policy": ["full", "dots"],
         "checkpoint_format": ["npz", "orbax"],
     }

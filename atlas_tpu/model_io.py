@@ -113,6 +113,7 @@ def load_reader(cfg: AtlasConfig) -> Tuple[Optional[T5Config], Optional[Dict], A
         decode_cache_dtype=getattr(cfg, "decode_kv_cache", "bf16"),
         decode_stream=getattr(cfg, "decode_stream", "auto"),
         decode_fused=getattr(cfg, "decode_fused", "auto"),
+        decode_weights=getattr(cfg, "decode_weights", "bf16"),
         remat_policy=getattr(cfg, "remat_policy", "full"),
     )
     if cfg.tiny_model:

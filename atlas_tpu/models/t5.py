@@ -87,6 +87,12 @@ class T5Config:
     # "auto" = on for TPU greedy decoding when shapes allow; "on" forces it
     # (interpret-mode on CPU — tests), "off" keeps the XLA scan step.
     decode_fused: str = "auto"
+    # Weight-only quantization for the FUSED decode step: "int8" stores the
+    # pre-transposed weight stacks as int8 with per-output-channel f32 scales
+    # (halves the weight HBM traffic that bounds the per-token cost on large
+    # readers; logits shift by the ~1e-3-relative quantization error, so tokens
+    # may differ from the bf16-weight path). The XLA scan step ignores it.
+    decode_weights: str = "bf16"
 
     @property
     def inner_dim(self) -> int:
@@ -508,7 +514,8 @@ def cross_entropy(
 # --------------------------------------------------------------- cached decoding
 
 
-def _fused_dims(cfg: T5Config, Bq: int, Bc: int, Lk: int, max_len: int, int8: bool):
+def _fused_dims(cfg: T5Config, Bq: int, Bc: int, Lk: int, max_len: int, int8: bool,
+                int8w: Optional[bool] = None):
     """FusedDims for (query rows, cross rows) at RAW lengths; _build_fused_cache
     applies the same shared padding helpers, so the VMEM-gate estimate and the
     real cache geometry cannot drift.
@@ -527,6 +534,8 @@ def _fused_dims(cfg: T5Config, Bq: int, Bc: int, Lk: int, max_len: int, int8: bo
     Lkp = pad_lk(Lk)
     Tmaxp = pad_tmax(max_len)
     Vp = pad_vocab(cfg.vocab_size)
+    if int8w is None:
+        int8w = getattr(cfg, "decode_weights", "bf16") == "int8"
 
     I = cfg.num_heads * cfg.d_kv
 
@@ -540,7 +549,7 @@ def _fused_dims(cfg: T5Config, Bq: int, Bc: int, Lk: int, max_len: int, int8: bo
             blk_v=_pick_block(Vp, blk_v_t),
             gated=cfg.feed_forward_proj == "gated-gelu",
             tied=cfg.tie_word_embeddings, int8=int8, dtype=cfg.dtype,
-            K=Bq // Bc, blk_q3=blk_i, blk_i=blk_i,
+            K=Bq // Bc, blk_q3=blk_i, blk_i=blk_i, int8w=int8w,
         )
 
     # later stages also stream the attention projections in I/i_div blocks —
@@ -597,6 +606,19 @@ def _fused_decode_ok(
         if fused_vmem_bytes(d) > FUSED_VMEM_BUDGET:
             return False
     return True
+
+
+def _quant_rows_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-row symmetric int8 over the LAST (contraction) axis:
+    w ≈ q * s[..., None]. Rows of the fused kernel's pre-transposed weight
+    stacks are output channels, so this is standard per-output-channel
+    weight-only quantization; the kernel rescales matmul result rows by s
+    (exact for blocked contractions — the scale distributes over partial
+    sums)."""
+    a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1)
+    s = jnp.maximum(a, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s[..., None]), -127, 127)
+    return q.astype(jnp.int8), s.astype(jnp.float32)
 
 
 def _build_fused_cache(
@@ -670,6 +692,25 @@ def _build_fused_cache(
         "woT": ffn["wo"].swapaxes(1, 2).astype(dt),  # (nL, D, F)
         "wlm": wlm.astype(dt),  # (Vp, D)
     }
+    if getattr(cfg, "decode_weights", "bf16") == "int8":
+        fw = cache["fused_w"]
+
+        def q8(name):
+            fw[name], s = _quant_rows_int8(fw[name])
+            return s
+
+        def lanes8(s):  # (..., R) -> (..., R, 8) f32, value broadcast over lanes
+            return jnp.broadcast_to(s[..., None], s.shape + (8,))
+
+        s_qkv, s_cq = q8("wqkvT"), q8("cross_qT")  # (nL, 3I) / (nL, I)
+        s_so, s_co, s_wo = q8("self_oT"), q8("cross_oT"), q8("woT")  # (nL, D)
+        s_wi = q8("wiT")  # (nL, F)
+        s_wi1 = q8("wi1T") if gated else jnp.ones_like(s_wi)
+        s_lm = q8("wlm")  # (Vp,)
+        fw["sqkv"], fw["scq"], fw["slm"] = lanes8(s_qkv), lanes8(s_cq), lanes8(s_lm)
+        # sD lanes: 0 = self_o, 1 = cross_o, 2 = wo; sF: 0 = wi, 1 = wi_1
+        fw["sD"] = jnp.pad(jnp.stack([s_so, s_co, s_wo], -1), ((0, 0), (0, 0), (0, 5)))
+        fw["sF"] = jnp.pad(jnp.stack([s_wi, s_wi1], -1), ((0, 0), (0, 0), (0, 6)))
     return cache
 
 
@@ -688,7 +729,8 @@ def _fused_t5_decode_step(
     Bc = cache["cross_k_col"].shape[1] // I
     # ONE geometry source: the same _fused_dims the VMEM gate estimated with
     # (cache dims are pad_* fixed points, so re-padding is the identity)
-    d = _fused_dims(cfg, B, Bc, Lk, Tmax, "ks" in cache)
+    d = _fused_dims(cfg, B, Bc, Lk, Tmax, "ks" in cache,
+                    int8w=w["wqkvT"].dtype == jnp.int8)
     assert (d.nL, d.Tmax, d.Lk, d.V) == (nL, Tmax, Lk, w["wlm"].shape[0]), (
         d, cache["self_k_col"].shape, w["wlm"].shape)
     x = jnp.take(params["shared"], tokens, axis=0).astype(cfg.dtype)  # (B, D)

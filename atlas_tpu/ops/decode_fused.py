@@ -97,6 +97,12 @@ class FusedDims(NamedTuple):
     # contraction columns (partial products accumulate into the residual).
     blk_q3: int = 0
     blk_i: int = 0
+    # Weight-only int8: stacks stored int8 with per-OUTPUT-CHANNEL f32 scales
+    # (models/t5.py _build_fused_cache). The decode step is weight-bandwidth
+    # bound at small batch, so halving the weight bytes read per token is a
+    # direct win; blocks are cast to the compute dtype in-kernel right before
+    # the MXU and the matmul result is rescaled by the output-row scale column.
+    int8w: bool = False
 
     @property
     def I(self) -> int:  # noqa: E743 - inner dim
@@ -203,10 +209,13 @@ def fused_vmem_bytes(d: FusedDims) -> int:
     batch, beam x bf16 cross cache)."""
     dt = jnp.dtype(d.dtype).itemsize
     cs = 1 if d.int8 else dt
+    wdt = 1 if d.int8w else dt  # weight-only int8 halves the streamed blocks
     I, D = d.I, d.D
     # qkv row block + self_o/cross_o contraction blocks + cross_q row block
-    w = (d.BQ3 * D + 3 * D * d.BI) * dt * 2
-    w += ((2 + d.gated) * d.blk_f * D + d.blk_v * D) * dt * 2
+    w = (d.BQ3 * D + 3 * D * d.BI) * wdt * 2
+    w += ((2 + d.gated) * d.blk_f * D + d.blk_v * D) * wdt * 2
+    if d.int8w:  # per-output-channel scale tables (f32, 8 lanes wide)
+        w += (d.BQ3 + d.BI + D + d.blk_f + d.blk_v) * 8 * 4 * 2
     self_b = d.B * I * d.Tmax * dt * 8  # k+v, in+out buffers, double-buffered
     cross_b = d.Bc * I * d.blk_l * cs * 4
     scale_b = d.Bc * d.H * d.blk_l * 4 * 4 if d.int8 else 0
@@ -302,6 +311,14 @@ def _make_kernel(d: FusedDims):
         wi1T_ref,  # (1, blk_f, D) (gated only; dummy otherwise)
         woT_ref,  # (1, D, blk_f)
         wlm_ref,  # (blk_v, D) — shared as-is (tied) / lm_head transposed
+        # per-output-channel weight scales, f32 x 8 lanes (int8w only; dummies
+        # otherwise). sD lanes: 0 = self_o, 1 = cross_o, 2 = wo. sF: 0 = wi,
+        # 1 = wi_1.
+        sqkv_ref,  # (1, BQ3, 8)
+        scq_ref,  # (1, BI, 8)
+        sD_ref,  # (1, D, 8)
+        sF_ref,  # (1, blk_f, 8)
+        slm_ref,  # (blk_v, 8)
         # outputs
         logitsT_ref,  # (blk_v, B) f32
         sk_out_ref,  # (1, B*I, Tmax) aliased
@@ -329,6 +346,13 @@ def _make_kernel(d: FusedDims):
         def ln_col(j):  # (D, 1) compute-dtype scale column
             return _take_lane(lnsT_ref[0], j, cdt)
 
+        def wmm(w, x, s=None, lane=0):
+            """Weight-block matmul: int8w casts the block to the compute dtype
+            and rescales result rows by the output-channel scale column."""
+            if d.int8w:
+                return mm(w.astype(cdt), x) * _take_lane(s, lane)  # (M,1) bcast
+            return mm(w, x)
+
         @pl.when(s == 0)
         def _init():
             xT_scr[:] = xT_ref[:].astype(jnp.float32)
@@ -339,8 +363,8 @@ def _make_kernel(d: FusedDims):
             def _qkv(j=j):
                 if j == 0:
                     hT_scr[:] = _rms_cols(xT_scr[:], ln_col(0), eps)  # (D, B)
-                qkvT_scr[j * d.BQ3 : (j + 1) * d.BQ3] = mm(
-                    wqkvT_ref[0], hT_scr[:]
+                qkvT_scr[j * d.BQ3 : (j + 1) * d.BQ3] = wmm(
+                    wqkvT_ref[0], hT_scr[:], sqkv_ref[0]
                 ).astype(cdt)
 
         # ---------------- phase 1: self attention + cache update --------
@@ -375,7 +399,7 @@ def _make_kernel(d: FusedDims):
             @pl.when(ph == d.PH_SO0 + j)
             def _self_o(j=j):
                 out_blk = outT_scr[j * d.BI : (j + 1) * d.BI].astype(cdt)
-                xT = xT_scr[:] + mm(wsoT_ref[0], out_blk)  # partial (D, B)
+                xT = xT_scr[:] + wmm(wsoT_ref[0], out_blk, sD_ref[0], 0)
                 xT_scr[:] = xT
                 if j == d.NP - 1:
                     hT_scr[:] = _rms_cols(xT, ln_col(1), eps)
@@ -384,8 +408,8 @@ def _make_kernel(d: FusedDims):
         for j in range(d.NP):
             @pl.when(ph == d.PH_CQ0 + j)
             def _cross_q(j=j):
-                qkvT_scr[j * d.BI : (j + 1) * d.BI] = mm(
-                    wcqT_ref[0], hT_scr[:]
+                qkvT_scr[j * d.BI : (j + 1) * d.BI] = wmm(
+                    wcqT_ref[0], hT_scr[:], scq_ref[0]
                 ).astype(cdt)
                 if j == d.NP - 1:
                     m_scr[:] = jnp.full_like(m_scr, NEG_INF)
@@ -444,7 +468,7 @@ def _make_kernel(d: FusedDims):
                     # outT_scr is free again (self_o consumed it)
                     outT_scr[:] = acc_scr[:] / denom_i  # (I, B) f32
                 out_blk = outT_scr[j * d.BI : (j + 1) * d.BI].astype(cdt)
-                xT = xT_scr[:] + mm(wcoT_ref[0], out_blk)  # partial (D, B)
+                xT = xT_scr[:] + wmm(wcoT_ref[0], out_blk, sD_ref[0], 1)
                 xT_scr[:] = xT
                 if j == d.NP - 1:
                     hT_scr[:] = _rms_cols(xT, ln_col(2), eps)
@@ -453,13 +477,13 @@ def _make_kernel(d: FusedDims):
         @pl.when((ph >= d.PH_FFN0) & (ph < d.NPH))
         def _ffn():
             hT = hT_scr[:]
-            aT = mm(wiT_ref[0], hT)  # (blk_f, B) f32
+            aT = wmm(wiT_ref[0], hT, sF_ref[0], 0)  # (blk_f, B) f32
             if d.gated:
-                a1T = mm(wi1T_ref[0], hT)
+                a1T = wmm(wi1T_ref[0], hT, sF_ref[0], 1)
                 aT = jax.nn.gelu(aT, approximate=True) * a1T
             else:
                 aT = jnp.maximum(aT, 0.0)
-            xT_scr[:] = xT_scr[:] + mm(woT_ref[0], aT.astype(cdt))
+            xT_scr[:] = xT_scr[:] + wmm(woT_ref[0], aT.astype(cdt), sD_ref[0], 2)
 
         # ---------------- epilogue: final rms + lm head blocks ----------
         @pl.when(s >= d.nL * d.NPH)
@@ -467,7 +491,7 @@ def _make_kernel(d: FusedDims):
             hT = _rms_cols(xT_scr[:], ln_col(3), eps)
             if d.tied:
                 hT = hT * jnp.asarray(D**-0.5, cdt)
-            logitsT_ref[:] = mm(wlm_ref[:], hT)  # (blk_v, B) f32
+            logitsT_ref[:] = wmm(wlm_ref[:], hT, slm_ref[:])  # (blk_v, B) f32
 
     return kernel
 
@@ -545,6 +569,9 @@ def fused_decode_step(
     weights (pre-transposed stacks, models/t5.py _build_fused_cache):
       wqkvT (nL,3I,D), lnsT (nL,D,8), self_oT/cross_oT (nL,D,I),
       cross_qT (nL,I,D), wiT/wi1T (nL,F,D), woT (nL,D,F), wlm (V,D).
+      With d.int8w the matrix stacks are int8 plus f32 per-output-channel
+      scale tables: sqkv (nL,3I,8), scq (nL,I,8), sD (nL,D,8; lanes
+      self_o/cross_o/wo), sF (nL,F,8; lanes wi/wi_1), slm (V,8).
     cache: self_k_col/self_v_col (nL,B*I,Tmax) for the B QUERY rows;
       cross operands carry Bc = B/K rows (beams share a batch row's cross
       cache): cross_k_col/cross_v_col (nL,Bc*I,Lk), ks/vs (nL,Bc,H,Lk) f32
@@ -575,6 +602,18 @@ def fused_decode_step(
         pl.BlockSpec((1, D, d.blk_f), im["wo"]),
         pl.BlockSpec((d.blk_v, D), im["wlm"]),
     ]
+    if d.int8w:
+        specs += [
+            pl.BlockSpec((1, d.BQ3, 8), im["wqkv"]),
+            pl.BlockSpec((1, d.BI, 8), im["wcq"]),
+            pl.BlockSpec((1, D, 8), im["layer3d"]),
+            pl.BlockSpec((1, d.blk_f, 8), im["wi"]),
+            pl.BlockSpec((d.blk_v, 8), im["wlm"]),
+        ]
+    else:
+        specs += [pl.BlockSpec((1, 8, 128), im["full3d"])] * 4 + [
+            pl.BlockSpec((8, 128), im["full2d"])
+        ]
     dummy = jnp.zeros((1, 8, 128), jnp.float32)
     operands = [
         xT,
@@ -596,6 +635,11 @@ def fused_decode_step(
         weights["woT"],
         weights["wlm"],
     ]
+    if d.int8w:
+        operands += [weights["sqkv"], weights["scq"], weights["sD"],
+                     weights["sF"], weights["slm"]]
+    else:
+        operands += [dummy] * 4 + [jnp.zeros((8, 128), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(d.total_steps,),

@@ -216,3 +216,77 @@ def test_fused_blocked_projections_match_xla(cache_dtype, monkeypatch):
     lf2, _ = t5_decode_step(params, cfg, tok1, jnp.int32(1), cache_f)
     ls2, _ = t5_decode_step(params, cfg_off, tok1, jnp.int32(1), cache_s)
     np.testing.assert_allclose(np.asarray(lf2), np.asarray(ls2), atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "ffn,cache_dtype", [("gated-gelu", "bf16"), ("relu", "int8")]
+)
+def test_fused_int8_weights_match_dequantized_xla(ffn, cache_dtype):
+    """decode_weights="int8": fused step with int8 stacks vs the XLA scan step
+    run on DEQUANTIZED params (the same per-output-channel roundtrip
+    _build_fused_cache applies, via _quant_rows_int8) — quantization is then
+    the only difference between the paths, so f32 logits must agree tightly.
+    (Untied configs: the tied lm head shares the input-embedding table, which
+    stays unquantized, so an exact shared-params oracle can't be built; the
+    tied wlm source is otherwise the same kernel path.)"""
+    from atlas_tpu.models.t5 import _quant_rows_int8
+
+    cfg, params, ids, mask = _setup(ffn, False, cache_dtype, seed=13)
+    cfg = cfg.__class__(**{**cfg.__dict__, "decode_weights": "int8"})
+    cfg_off = cfg.__class__(**{**cfg.__dict__, "decode_fused": "off"})
+
+    def rt(w):  # roundtrip through the fused stacks' quantization scheme
+        q, s = _quant_rows_int8(jnp.swapaxes(w, -1, -2))
+        return jnp.swapaxes(q.astype(jnp.float32) * s[..., None], -1, -2)
+
+    layers = params["decoder"]["layers"]
+    sa, ca, ffn_p = layers["self_attn"], layers["cross_attn"], layers["ffn"]
+    deq_layers = dict(
+        layers,
+        self_attn=dict(sa, q=rt(sa["q"]), k=rt(sa["k"]), v=rt(sa["v"]), o=rt(sa["o"])),
+        cross_attn=dict(ca, q=rt(ca["q"]), o=rt(ca["o"])),  # cross k/v: cache-side
+        ffn={k: rt(v) for k, v in ffn_p.items()},
+    )
+    params_deq = dict(
+        params,
+        decoder=dict(params["decoder"], layers=deq_layers),
+        lm_head=rt(params["lm_head"]),
+    )
+
+    enc = fid_encode(params, cfg, ids, mask, deterministic=True)
+    enc_mask = mask.reshape(B, N * L)
+    cache_f = init_decode_cache(params, cfg, enc, enc_mask, MAXLEN)
+    assert cache_f["fused_w"]["wqkvT"].dtype == jnp.int8
+    assert "sD" in cache_f["fused_w"]
+    cache_s = init_decode_cache(params_deq, cfg_off, enc, enc_mask, MAXLEN)
+
+    tok0 = jnp.zeros((B,), jnp.int32)
+    lf, cache_f = t5_decode_step(params, cfg, tok0, jnp.int32(0), cache_f)
+    ls, cache_s = t5_decode_step(params_deq, cfg_off, tok0, jnp.int32(0), cache_s)
+    np.testing.assert_allclose(np.asarray(lf), np.asarray(ls), atol=2e-3, rtol=2e-3)
+    tok1 = jnp.asarray(np.argmax(np.asarray(ls), -1), jnp.int32)
+    lf2, _ = t5_decode_step(params, cfg, tok1, jnp.int32(1), cache_f)
+    ls2, _ = t5_decode_step(params_deq, cfg_off, tok1, jnp.int32(1), cache_s)
+    np.testing.assert_allclose(np.asarray(lf2), np.asarray(ls2), atol=2e-3, rtol=2e-3)
+
+
+def test_int8_weights_geometry():
+    """int8 weight stacks halve the streamed weight VMEM, so the cascade keeps
+    larger blocks (never smaller) and t5-xl still fits the budget."""
+    import jax.numpy as jnp
+
+    from atlas_tpu.models.t5 import _fused_dims, t5_config_for
+    from atlas_tpu.ops.decode_fused import FUSED_VMEM_BUDGET, fused_vmem_bytes
+
+    xl = t5_config_for("google/t5-xl-lm-adapt", dtype=jnp.bfloat16)
+    xl_w8 = t5_config_for("google/t5-xl-lm-adapt", dtype=jnp.bfloat16,
+                          decode_weights="int8")
+    d = _fused_dims(xl, 8, 8, 20 * 256, 32, True)
+    d_w8 = _fused_dims(xl_w8, 8, 8, 20 * 256, 32, True)
+    assert d_w8.int8w and not d.int8w
+    assert fused_vmem_bytes(d_w8) <= FUSED_VMEM_BUDGET
+    assert d_w8.total_steps <= d.total_steps
+    # small models keep full blocks either way
+    base = t5_config_for("t5-base", dtype=jnp.bfloat16, decode_weights="int8")
+    d_b = _fused_dims(base, 8, 8, 20 * 256, 32, True)
+    assert d_b.blk_l == 1024 and d_b.NP == 1 and d_b.int8w

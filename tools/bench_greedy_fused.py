@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """One-process A/B: greedy decode fused kernel vs XLA scan step, FiD at
-B=8, N=20, L=256, gen 32. Argv: model [n_context] [cache_dtypes,csv]:
+B=8, N=20, L=256, gen 32. Argv: model [n_context] [modes,csv] where a mode is
+a cache dtype with an optional ":w8" suffix for int8 fused weights:
 
   PYTHONPATH=/root/repo:/root/.axon_site python -u tools/bench_greedy_fused.py t5-large
-  ... tools/bench_greedy_fused.py google/t5-xl-lm-adapt 20 int8
+  ... tools/bench_greedy_fused.py google/t5-xl-lm-adapt 20 int8,int8:w8
 """
 
 import dataclasses
@@ -25,9 +26,11 @@ if len(sys.argv) > 2:
 CACHE_DTYPES = sys.argv[3].split(",") if len(sys.argv) > 3 else ["int8", "bf16"]
 
 
-def run(cache_dtype, fused):
+def run(mode, fused):
+    cache_dtype, _, wsuf = mode.partition(":")
     cfg = t5_config_for(MODEL, dtype=jnp.bfloat16)
     cfg = dataclasses.replace(cfg, dropout_rate=0.0, decode_cache_dtype=cache_dtype,
+                              decode_weights="int8" if wsuf == "w8" else "bf16",
                               decode_fused="auto" if fused else "off")
     # init+cast under one jit: XLA frees each fp32 leaf after its cast, so a
     # 3B model peaks ~6GB instead of ~17GB (fp32 tree + bf16 copy both live)
@@ -45,11 +48,11 @@ def run(cache_dtype, fused):
 
 
 def main():
-    for cache_dtype in CACHE_DTYPES:
-        ms_off, tok_off = run(cache_dtype, fused=False)
-        ms_on, tok_on = run(cache_dtype, fused=True)
+    for mode in CACHE_DTYPES:
+        ms_off, tok_off = run(mode, fused=False)
+        ms_on, tok_on = run(mode, fused=True)
         match = bool((tok_off == tok_on).all())
-        print(f"{MODEL} N={N} greedy {cache_dtype}: fused {ms_on:.1f} ms/gen vs "
+        print(f"{MODEL} N={N} greedy {mode}: fused {ms_on:.1f} ms/gen vs "
               f"xla {ms_off:.1f} ({ms_off / ms_on:.2f}x), tokens_match={match}",
               flush=True)
 
