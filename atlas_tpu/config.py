@@ -170,6 +170,12 @@ class AtlasConfig:
     # Overlap next-batch query/target tokenization with the device step
     # (train/loop.py:_prefetch_pretokenized). --no-host_prefetch disables.
     host_prefetch: bool = True
+    # Pad reader/retriever passage batches to a small ladder of length buckets
+    # instead of always text_maxlength (core/atlas.py encode_passages_batch).
+    # The reference pads "longest" per batch — free under torch, a recompile
+    # per novel length under XLA; buckets bound the compiled shapes while
+    # cutting encoder FLOPs roughly by the mean-passage/maxlength ratio.
+    bucket_lengths: bool = False
     # Cross-attention KV-cache dtype for generation: "bf16" exact, "int8" halves
     # the per-token HBM traffic that floors FiD decode latency (models/t5.py).
     decode_kv_cache: str = "bf16"

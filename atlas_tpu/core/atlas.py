@@ -176,17 +176,48 @@ class Atlas:
         labels, decoder_input_ids = self.reader_tokenize(query, target, target_tokens)
         return query_enc, labels, decoder_input_ids
 
+    # Bucketed sequence lengths (used when cfg.bucket_lengths): the reference pads
+    # "longest" per batch (atlas.py:26-39 via tokenizer padding), free under torch
+    # but a recompile per novel length under XLA — so batches round up to a small
+    # ladder of compiled shapes instead, the same trade the refresh embed path
+    # makes (index/refresh.py LENGTH_BUCKETS).
+    LENGTH_BUCKETS = (16, 32, 64, 96, 128, 192, 256, 384, 512)
+
+    def _bucket_len(self, longest: int, cap: int) -> int:
+        for b in self.LENGTH_BUCKETS:
+            if b >= longest and b <= cap:
+                return b
+        return cap
+
     def encode_passages_batch(self, batch: List[List[str]], tokenizer, max_length: int,
                               n_min: int = 0):
         """(B lists of <=N strings) -> (B, N, L) fixed-shape arrays (atlas.py:26-39).
         n_min pads the passage axis to a stable count so ragged file-passage lists
-        don't trigger a recompile per batch."""
+        don't trigger a recompile per batch. L is max_length, or the smallest
+        length bucket covering the batch when cfg.bucket_lengths (padding is
+        masked, so the loss/logits are invariant; only the compiled shape moves)."""
         bsz = len(batch)
         n = max(max(len(ex) for ex in batch), n_min)
         flat = [s for ex in batch for s in ex + [""] * (n - len(ex))]
-        tok = tokenizer(flat, padding="max_length", max_length=max_length,
-                        truncation=True, return_tensors="np")
-        return {k: np.asarray(v).reshape(bsz, n, -1) for k, v in tok.items()}
+        bucketing = getattr(self.cfg, "bucket_lengths", False)
+        tok = tokenizer(flat, padding="longest" if bucketing else "max_length",
+                        max_length=max_length, truncation=True, return_tensors="np")
+        out = {k: np.asarray(v) for k, v in tok.items()}
+        if bucketing:
+            L = self._bucket_len(out["input_ids"].shape[-1], max_length)
+            if jax.process_count() > 1:
+                # every process must pad to the same global bucket — the jitted
+                # step's global batch shape is shared across hosts
+                from jax.experimental import multihost_utils
+
+                L = int(np.max(multihost_utils.process_allgather(np.int32(L))))
+            pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
+            for k, v in out.items():
+                if v.shape[-1] < L:
+                    fill = pad_id if k == "input_ids" else 0
+                    out[k] = np.pad(v, ((0, 0), (0, L - v.shape[-1])),
+                                    constant_values=fill)
+        return {k: v.reshape(bsz, n, -1) for k, v in out.items()}
 
     def tokenize_passages(self, query, passages):
         """-> (reader_tok (B,N,L), retriever_tok (B,N,Lr)) (atlas.py:261-280)."""

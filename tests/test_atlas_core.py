@@ -266,3 +266,46 @@ def test_overlapped_refresh_matches_blocking(setup):
     finally:
         atlas.retriever_params = old_params
         atlas._corpus_embedder = None
+
+
+def test_bucket_lengths_invariant_loss():
+    """cfg.bucket_lengths pads passage batches to the smallest length bucket
+    instead of text_maxlength; padding is masked, so the FiD loss must be
+    IDENTICAL (up to f32 numerics) to the max_length-padded batch."""
+    from atlas_tpu.models.fid import fid_forward
+
+    from helpers import tiny_atlas
+
+    atlas = tiny_atlas(AtlasConfig(text_maxlength=128, target_maxlength=16,
+                                   n_context=2, retriever_n_context=2,
+                                   precision="fp32"))
+    q = ["tiny q", "second q"]
+    passages = [
+        [{"title": "a", "text": "short"}, {"title": "b", "text": "also short"}],
+        [{"title": "c", "text": "pad me"}, {"title": "d", "text": "tail"}],
+    ]
+    atlas.cfg.bucket_lengths = True
+    tok_b, rtok_b = atlas.tokenize_passages(q, passages)
+    atlas.cfg.bucket_lengths = False
+    tok_f, rtok_f = atlas.tokenize_passages(q, passages)
+    Lb, Lf = tok_b["input_ids"].shape[-1], tok_f["input_ids"].shape[-1]
+    assert Lf == atlas.cfg.text_maxlength == 128
+    assert Lb < Lf and Lb in atlas.LENGTH_BUCKETS, (Lb, Lf)
+    assert rtok_b["input_ids"].shape[-1] in atlas.LENGTH_BUCKETS
+    # padded tail is pad tokens with zero mask
+    np.testing.assert_array_equal(
+        np.asarray(tok_b["input_ids"])[..., :Lb],
+        np.asarray(tok_f["input_ids"])[..., :Lb])
+    assert np.asarray(tok_f["attention_mask"])[..., Lb:].sum() == 0
+
+    _, labels, dec_in = atlas.tokenize(q, ["yes", "no"])
+    loss_b, _, _ = fid_forward(
+        atlas.reader_params, atlas.reader_cfg, jnp.asarray(tok_b["input_ids"]),
+        jnp.asarray(tok_b["attention_mask"]), jnp.asarray(dec_in),
+        labels=jnp.asarray(labels))
+    loss_f, _, _ = fid_forward(
+        atlas.reader_params, atlas.reader_cfg, jnp.asarray(tok_f["input_ids"]),
+        jnp.asarray(tok_f["attention_mask"]), jnp.asarray(dec_in),
+        labels=jnp.asarray(labels))
+    np.testing.assert_allclose(np.asarray(loss_b), np.asarray(loss_f),
+                               atol=1e-5, rtol=1e-5)
