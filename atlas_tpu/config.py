@@ -187,10 +187,11 @@ class AtlasConfig:
     # Whole-decode-step fused Pallas kernel (ops/decode_fused.py): "auto" = on
     # for TPU greedy decoding when shapes allow, "on"/"off" force it.
     decode_fused: str = "auto"
-    # Weight-only quantization for the fused decode step: "int8" streams the
-    # decoder weight stacks as int8 + per-output-channel scales (halves the
-    # weight HBM read that bounds per-token latency on large readers; logits
-    # shift by the quantization error). Fused path only.
+    # Weight-only quantization for decoding: "int8" streams the decoder weight
+    # stacks as int8 + per-output-channel scales (halves the weight HBM read
+    # that bounds per-token latency on large readers; logits shift by the
+    # quantization error). Applies to the fused kernel AND the XLA scan step
+    # (beam / sharded decode); incompatible with decode_stream parts.
     decode_weights: str = "bf16"
     # Gradient-checkpoint recompute policy: "full" (lowest memory) or "dots"
     # (save matmul outputs, recompute elementwise — ~3% faster step on v5e).

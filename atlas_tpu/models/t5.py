@@ -87,11 +87,13 @@ class T5Config:
     # "auto" = on for TPU greedy decoding when shapes allow; "on" forces it
     # (interpret-mode on CPU — tests), "off" keeps the XLA scan step.
     decode_fused: str = "auto"
-    # Weight-only quantization for the FUSED decode step: "int8" stores the
-    # pre-transposed weight stacks as int8 with per-output-channel f32 scales
-    # (halves the weight HBM traffic that bounds the per-token cost on large
-    # readers; logits shift by the ~1e-3-relative quantization error, so tokens
-    # may differ from the bf16-weight path). The XLA scan step ignores it.
+    # Weight-only quantization for decoding: "int8" stores the decode-step
+    # weight stacks as int8 with per-output-channel f32 scales (halves the
+    # weight HBM traffic that bounds the per-token cost on large readers;
+    # logits shift by the ~1e-3-relative quantization error, so tokens may
+    # differ from the bf16-weight path). Both decode paths honor it: the fused
+    # kernel via _build_fused_cache's transposed stacks, the XLA scan step
+    # (beam, sharded multi-chip decode) via per-layer code+scale scan slices.
     decode_weights: str = "bf16"
 
     @property
@@ -621,6 +623,18 @@ def _quant_rows_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q.astype(jnp.int8), s.astype(jnp.float32)
 
 
+def _quant_cols_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-COLUMN symmetric int8 over the second-to-last (contraction)
+    axis: w ≈ q * s[..., None, :]. The XLA scan step's weights contract
+    activations as h @ w, so output channels are columns there; the step
+    rescales matmul result columns by s (same scheme as _quant_rows_int8 on
+    the fused kernel's transposed stacks)."""
+    a = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+    s = jnp.maximum(a, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s[..., 0, :].astype(jnp.float32)
+
+
 def _build_fused_cache(
     params, cfg: T5Config, ck, cv, kscale, vscale, encoder_mask, bias_table,
     max_len: int, self_batch: int,
@@ -808,6 +822,27 @@ def init_decode_cache(
         cache["cross_v"], cache["cross_v_scale"] = cv, vscale
     else:
         cache["cross_k"], cache["cross_v"] = ck, cv
+    if getattr(cfg, "decode_weights", "bf16") == "int8":
+        # XLA-scan-step weight-only int8 (the beam path and sharded multi-chip
+        # decoding ride this step; greedy single-chip TPU decoding fuses and
+        # quantizes inside _build_fused_cache instead). Per-output-column
+        # codes + f32 scales; the step rescales matmul result columns.
+        if _decode_stream_parts(cfg):
+            raise ValueError("decode_weights=int8 is incompatible with "
+                             "decode_stream parts (kernels read raw params)")
+        layers = params["decoder"]["layers"]
+        ffn = layers["ffn"]
+        gated = cfg.feed_forward_proj == "gated-gelu"
+        cache["wqkv"], cache["wqkv_scale"] = _quant_cols_int8(wqkv)
+        for key, w in (("self_o", sa["o"]), ("cross_q", ca["q"]),
+                       ("cross_o", ca["o"]),
+                       ("wi", ffn["wi_0"] if gated else ffn["wi"]),
+                       ("wo", ffn["wo"])):
+            cache[f"w8_{key}"], cache[f"w8_{key}_scale"] = _quant_cols_int8(w)
+        if gated:
+            cache["w8_wi1"], cache["w8_wi1_scale"] = _quant_cols_int8(ffn["wi_1"])
+        lm = params["shared"].T if cfg.tie_word_embeddings else params["lm_head"]
+        cache["w8_lm"], cache["w8_lm_scale"] = _quant_cols_int8(lm)  # (D, V)
     return cache
 
 
@@ -888,11 +923,15 @@ def t5_decode_step(
     inner = cfg.inner_dim
 
     int8_cache = "cross_k_scale" in cache
-    parts = _decode_stream_parts(cfg)
+    w8 = "w8_lm" in cache  # weight-only int8 stacks (init_decode_cache)
+    parts = frozenset() if w8 else _decode_stream_parts(cfg)
     s_lm, s_ffn = "lm" in parts, "ffn" in parts
     s_qkv, s_proj = "qkv" in parts, "proj" in parts
     layers = params["decoder"]["layers"]
     gated = cfg.feed_forward_proj == "gated-gelu"
+
+    def qmm(h, q, s):  # int8 weight matmul: per-output-column rescale
+        return ((h @ q.astype(h.dtype)) * s).astype(h.dtype)
 
     def layer(x, xs):
         if int8_cache:
@@ -901,7 +940,9 @@ def t5_decode_step(
             idx, lp, sk, sv, ck, cv = xs
             ks = vs = None
         h = rms_norm(x, lp["ln1"], cfg.layer_norm_epsilon)
-        if s_qkv:
+        if w8:
+            qkv = qmm(h, lp["wqkv"], lp["wqkv_scale"])
+        elif s_qkv:
             qkv = stream_matmul_stacked(h[:, 0], wqkv, idx)[:, None]
         else:
             qkv = h @ lp["wqkv"]  # (B, 1, 3I): one matmul instead of three
@@ -912,12 +953,16 @@ def t5_decode_step(
         sv = jax.lax.dynamic_update_slice(sv, new_v.astype(sv.dtype), (0, 0, pos, 0))
         a = dot_product_attention(q, sk, sv, bias=self_bias)
         am = _merge_heads(a)
-        if s_proj:
+        if w8:
+            x = x + qmm(am, lp["w8_self_o"], lp["w8_self_o_scale"])
+        elif s_proj:
             x = x + stream_matmul_stacked(am[:, 0], layers["self_attn"]["o"], idx)[:, None]
         else:
             x = x + am @ lp["self_o"]
         h = rms_norm(x, lp["ln2"], cfg.layer_norm_epsilon)
-        if s_proj:
+        if w8:
+            cq = qmm(h, lp["w8_cross_q"], lp["w8_cross_q_scale"])
+        elif s_proj:
             cq = stream_matmul_stacked(h[:, 0], layers["cross_attn"]["q"], idx)[:, None]
         else:
             cq = h @ lp["cross_q"]
@@ -947,12 +992,22 @@ def t5_decode_step(
         else:
             a = dot_product_attention(q, ck, cv, bias=cross_bias)
         am = _merge_heads(a)
-        if s_proj:
+        if w8:
+            x = x + qmm(am, lp["w8_cross_o"], lp["w8_cross_o_scale"])
+        elif s_proj:
             x = x + stream_matmul_stacked(am[:, 0], layers["cross_attn"]["o"], idx)[:, None]
         else:
             x = x + am @ lp["cross_o"]
         h = rms_norm(x, lp["ln3"], cfg.layer_norm_epsilon)
-        if s_ffn:
+        if w8:
+            a8 = (h @ lp["w8_wi"].astype(h.dtype)) * lp["w8_wi_scale"]
+            if gated:
+                a8 = jax.nn.gelu(a8, approximate=True) * (
+                    (h @ lp["w8_wi1"].astype(h.dtype)) * lp["w8_wi1_scale"])
+            else:
+                a8 = jnp.maximum(a8, 0.0)
+            x = x + qmm(a8.astype(h.dtype), lp["w8_wo"], lp["w8_wo_scale"])
+        elif s_ffn:
             if gated:
                 f = stream_ffn_stacked(
                     h[:, 0], layers["ffn"]["wi_0"], layers["ffn"]["wo"], idx,
@@ -970,14 +1025,22 @@ def t5_decode_step(
     # (a sliced scan input feeding an opaque pallas_call would be copied per layer)
     nL = layers["ln1"].shape[0]
     lp_xs = {k: layers[k] for k in ("ln1", "ln2", "ln3")}
-    if not s_qkv:
-        lp_xs["wqkv"] = wqkv
-    if not s_proj:
-        lp_xs["self_o"] = layers["self_attn"]["o"]
-        lp_xs["cross_q"] = layers["cross_attn"]["q"]
-        lp_xs["cross_o"] = layers["cross_attn"]["o"]
-    if not s_ffn:
-        lp_xs["ffn"] = layers["ffn"]
+    if w8:
+        lp_xs["wqkv"], lp_xs["wqkv_scale"] = wqkv, cache["wqkv_scale"]
+        w8_keys = ("self_o", "cross_q", "cross_o", "wi", "wo") + (
+            ("wi1",) if gated else ())
+        for key in w8_keys:
+            lp_xs[f"w8_{key}"] = cache[f"w8_{key}"]
+            lp_xs[f"w8_{key}_scale"] = cache[f"w8_{key}_scale"]
+    else:
+        if not s_qkv:
+            lp_xs["wqkv"] = wqkv
+        if not s_proj:
+            lp_xs["self_o"] = layers["self_attn"]["o"]
+            lp_xs["cross_q"] = layers["cross_attn"]["q"]
+            lp_xs["cross_o"] = layers["cross_attn"]["o"]
+        if not s_ffn:
+            lp_xs["ffn"] = layers["ffn"]
     xs = (jnp.arange(nL, dtype=jnp.int32), lp_xs, cache["self_k"],
           cache["self_v"], cache["cross_k"], cache["cross_v"])
     if int8_cache:
@@ -987,7 +1050,13 @@ def t5_decode_step(
         unroll=max(1, getattr(cfg, "decode_scan_unroll", 1)),
     )
     x = rms_norm(x, params["decoder"]["final_ln"], cfg.layer_norm_epsilon)
-    if s_lm:
+    if w8:
+        x2 = x[:, 0]
+        if cfg.tie_word_embeddings:
+            x2 = x2 * (cfg.d_model**-0.5)
+        logits = ((x2 @ cache["w8_lm"].astype(x2.dtype))
+                  * cache["w8_lm_scale"]).astype(jnp.float32)
+    elif s_lm:
         x2 = x[:, 0]
         if cfg.tie_word_embeddings:
             logits = stream_matmul(

@@ -141,6 +141,21 @@ def main():
     got = np.asarray(raw["model.reader.shared"])
     np.testing.assert_array_equal(got, want)
 
+    # ---- 7. bucket_lengths cross-host sync: processes with different local
+    # longest-lengths must pad to the SAME global bucket (the jitted step's
+    # global batch shape is shared — core/atlas.py encode_passages_batch)
+    cfg7 = AtlasConfig(text_maxlength=128, target_maxlength=16, n_context=2,
+                       retriever_n_context=2, precision="fp32",
+                       bucket_lengths=True)
+    atlas.cfg = cfg7
+    short = [[{"title": "a", "text": "hi"}, {"title": "b", "text": "yo"}]]
+    longer = [[{"title": "c", "text": "x" * 50}, {"title": "d", "text": "y" * 45}]]
+    tok7, _ = atlas.tokenize_passages(["q"], short if pid == 0 else longer)
+    L7 = tok7["input_ids"].shape[-1]
+    gathered = multihost_utils.process_allgather(np.int32(L7))
+    assert int(gathered.min()) == int(gathered.max()), gathered  # same bucket
+    assert L7 in atlas.LENGTH_BUCKETS and L7 < 128, L7  # bucketed, not cap
+
     print(f"WORKER{pid} OK", flush=True)
 
 

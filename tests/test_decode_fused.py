@@ -219,21 +219,25 @@ def test_fused_blocked_projections_match_xla(cache_dtype, monkeypatch):
 
 
 @pytest.mark.parametrize(
-    "ffn,cache_dtype", [("gated-gelu", "bf16"), ("relu", "int8")]
+    "path,ffn,cache_dtype",
+    [("fused", "gated-gelu", "bf16"), ("fused", "relu", "int8"),
+     ("scan", "gated-gelu", "bf16"), ("scan", "relu", "int8")],
 )
-def test_fused_int8_weights_match_dequantized_xla(ffn, cache_dtype):
-    """decode_weights="int8": fused step with int8 stacks vs the XLA scan step
-    run on DEQUANTIZED params (the same per-output-channel roundtrip
-    _build_fused_cache applies, via _quant_rows_int8) — quantization is then
-    the only difference between the paths, so f32 logits must agree tightly.
+def test_int8_weights_match_dequantized_oracle(path, ffn, cache_dtype):
+    """decode_weights="int8" on BOTH decode paths (fused kernel / XLA scan) vs
+    a bf16-weight oracle run on DEQUANTIZED params (the same per-output-channel
+    roundtrip the cache builders apply) — quantization is then the only
+    difference between the paths, so f32 logits must agree tightly.
     (Untied configs: the tied lm head shares the input-embedding table, which
     stays unquantized, so an exact shared-params oracle can't be built; the
-    tied wlm source is otherwise the same kernel path.)"""
+    tied wlm source is otherwise the same code path.)"""
     from atlas_tpu.models.t5 import _quant_rows_int8
 
     cfg, params, ids, mask = _setup(ffn, False, cache_dtype, seed=13)
-    cfg = cfg.__class__(**{**cfg.__dict__, "decode_weights": "int8"})
-    cfg_off = cfg.__class__(**{**cfg.__dict__, "decode_fused": "off"})
+    cfg = cfg.__class__(**{**cfg.__dict__, "decode_weights": "int8",
+                           "decode_fused": "on" if path == "fused" else "off"})
+    cfg_off = cfg.__class__(**{**cfg.__dict__, "decode_fused": "off",
+                               "decode_weights": "bf16"})
 
     def rt(w):  # roundtrip through the fused stacks' quantization scheme
         q, s = _quant_rows_int8(jnp.swapaxes(w, -1, -2))
@@ -256,9 +260,13 @@ def test_fused_int8_weights_match_dequantized_xla(ffn, cache_dtype):
     enc = fid_encode(params, cfg, ids, mask, deterministic=True)
     enc_mask = mask.reshape(B, N * L)
     cache_f = init_decode_cache(params, cfg, enc, enc_mask, MAXLEN)
-    assert cache_f["fused_w"]["wqkvT"].dtype == jnp.int8
-    assert "sD" in cache_f["fused_w"]
+    if path == "fused":
+        assert cache_f["fused_w"]["wqkvT"].dtype == jnp.int8
+        assert "sD" in cache_f["fused_w"]
+    else:
+        assert cache_f["wqkv"].dtype == jnp.int8 and "w8_lm" in cache_f
     cache_s = init_decode_cache(params_deq, cfg_off, enc, enc_mask, MAXLEN)
+    assert "w8_lm" not in cache_s
 
     tok0 = jnp.zeros((B,), jnp.int32)
     lf, cache_f = t5_decode_step(params, cfg, tok0, jnp.int32(0), cache_f)
@@ -268,6 +276,20 @@ def test_fused_int8_weights_match_dequantized_xla(ffn, cache_dtype):
     lf2, _ = t5_decode_step(params, cfg, tok1, jnp.int32(1), cache_f)
     ls2, _ = t5_decode_step(params_deq, cfg_off, tok1, jnp.int32(1), cache_s)
     np.testing.assert_allclose(np.asarray(lf2), np.asarray(ls2), atol=2e-3, rtol=2e-3)
+
+    if path == "scan":
+        # the beam-shaped step (B*K query rows over B cross rows) also honors
+        # the int8 stacks — the production use of the scan path on TPU
+        K = 3
+        cb_f = init_decode_cache(params, cfg, enc, enc_mask, MAXLEN, self_batch=B * K)
+        cb_s = init_decode_cache(params_deq, cfg_off, enc, enc_mask, MAXLEN,
+                                 self_batch=B * K)
+        tokb = jnp.tile(tok0, K).reshape(K, B).T.reshape(B * K)
+        bf, _ = t5_decode_step(params, cfg, tokb, jnp.int32(0), cb_f, beam_size=K)
+        bs, _ = t5_decode_step(params_deq, cfg_off, tokb, jnp.int32(0), cb_s,
+                               beam_size=K)
+        np.testing.assert_allclose(np.asarray(bf), np.asarray(bs), atol=2e-3,
+                                   rtol=2e-3)
 
 
 def test_int8_weights_geometry():
