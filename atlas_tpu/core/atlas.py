@@ -30,6 +30,7 @@ from atlas_tpu.models.bert import BertConfig
 from atlas_tpu.models.contriever import retriever_embed
 from atlas_tpu.models.fid import fid_forward, get_crossattention_scores, select_crossattention_scores
 from atlas_tpu.models.t5 import T5Config, cross_entropy, shift_right
+from atlas_tpu.utils.buckets import LENGTH_BUCKETS
 
 logger = logging.getLogger(__name__)
 
@@ -178,16 +179,23 @@ class Atlas:
 
     # Bucketed sequence lengths (used when cfg.bucket_lengths): the reference pads
     # "longest" per batch (atlas.py:26-39 via tokenizer padding), free under torch
-    # but a recompile per novel length under XLA — so batches round up to a small
-    # ladder of compiled shapes instead, the same trade the refresh embed path
-    # makes (index/refresh.py LENGTH_BUCKETS).
-    LENGTH_BUCKETS = (16, 32, 64, 96, 128, 192, 256, 384, 512)
+    # but a recompile per novel length under XLA — so batches round up to the
+    # shared ladder of compiled shapes (utils/buckets.py, same trade as the
+    # refresh embed path). Deliberately collective-free here: eval batches are
+    # process-LOCAL arrays and eval ranks skip padding batches, so a sync inside
+    # tokenization would deadlock ragged multi-host eval; tokenize_passages
+    # syncs once (both towers in one allgather) only when asked by the train
+    # path, whose global batch shape is shared across hosts.
 
-    def _bucket_len(self, longest: int, cap: int) -> int:
-        for b in self.LENGTH_BUCKETS:
-            if b >= longest and b <= cap:
-                return b
-        return cap
+    @staticmethod
+    def _pad_tok(tok: Dict[str, np.ndarray], L: int, pad_id: int):
+        """Right-pad the last (length) axis of every tokenizer array to L."""
+        return {
+            k: np.pad(v, ((0, 0),) * (v.ndim - 1) + ((0, L - v.shape[-1]),),
+                      constant_values=pad_id if k == "input_ids" else 0)
+            if v.shape[-1] < L else v
+            for k, v in tok.items()
+        }
 
     def encode_passages_batch(self, batch: List[List[str]], tokenizer, max_length: int,
                               n_min: int = 0):
@@ -196,6 +204,8 @@ class Atlas:
         don't trigger a recompile per batch. L is max_length, or the smallest
         length bucket covering the batch when cfg.bucket_lengths (padding is
         masked, so the loss/logits are invariant; only the compiled shape moves)."""
+        from atlas_tpu.utils.buckets import pick_bucket
+
         bsz = len(batch)
         n = max(max(len(ex) for ex in batch), n_min)
         flat = [s for ex in batch for s in ex + [""] * (n - len(ex))]
@@ -204,23 +214,22 @@ class Atlas:
                         max_length=max_length, truncation=True, return_tensors="np")
         out = {k: np.asarray(v) for k, v in tok.items()}
         if bucketing:
-            L = self._bucket_len(out["input_ids"].shape[-1], max_length)
-            if jax.process_count() > 1:
-                # every process must pad to the same global bucket — the jitted
-                # step's global batch shape is shared across hosts
-                from jax.experimental import multihost_utils
-
-                L = int(np.max(multihost_utils.process_allgather(np.int32(L))))
-            pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
-            for k, v in out.items():
-                if v.shape[-1] < L:
-                    fill = pad_id if k == "input_ids" else 0
-                    out[k] = np.pad(v, ((0, 0), (0, L - v.shape[-1])),
-                                    constant_values=fill)
+            L = pick_bucket(out["input_ids"].shape[-1], max_length)
+            out = self._pad_tok(out, L, getattr(tokenizer, "pad_token_id", 0) or 0)
         return {k: v.reshape(bsz, n, -1) for k, v in out.items()}
 
-    def tokenize_passages(self, query, passages):
-        """-> (reader_tok (B,N,L), retriever_tok (B,N,Lr)) (atlas.py:261-280)."""
+    LENGTH_BUCKETS = LENGTH_BUCKETS  # shared ladder (utils/buckets.py)
+
+    def tokenize_passages(self, query, passages, sync_buckets: bool = False):
+        """-> (reader_tok (B,N,L), retriever_tok (B,N,Lr)) (atlas.py:261-280).
+
+        sync_buckets: with cfg.bucket_lengths in a multi-process run, re-pad
+        both towers' bucketed lengths to the cross-host max in ONE allgather —
+        required by callers that assemble GLOBAL batch arrays (the train path;
+        every process reaches make_batch in lockstep). Callers working on
+        process-local arrays (the eval loop, whose padding ranks skip
+        tokenization entirely) must leave it False: a collective here would
+        desync ragged multi-host eval."""
         if len(query) == 0:
             return None, None
         query_passages = [self.append_query(q, p) for q, p in zip(query, passages)]
@@ -235,6 +244,20 @@ class Atlas:
         reader_tok = self.encode_passages_batch(
             query_passages, self.reader_tokenizer, self.cfg.text_maxlength, n_min
         )
+        if (sync_buckets and getattr(self.cfg, "bucket_lengths", False)
+                and jax.process_count() > 1):
+            from jax.experimental import multihost_utils
+
+            lr = reader_tok["input_ids"].shape[-1]
+            lq = retriever_tok["input_ids"].shape[-1] if retriever_tok else 0
+            g = multihost_utils.process_allgather(np.array([lr, lq], np.int32))
+            reader_tok = self._pad_tok(
+                reader_tok, int(np.max(g[..., 0])),
+                getattr(self.reader_tokenizer, "pad_token_id", 0) or 0)
+            if retriever_tok is not None:
+                retriever_tok = self._pad_tok(
+                    retriever_tok, int(np.max(g[..., 1])),
+                    getattr(self.retriever_tokenizer, "pad_token_id", 0) or 0)
         return reader_tok, retriever_tok
 
     # ------------------------------------------------------------------ retrieval
@@ -367,7 +390,8 @@ class Atlas:
                 iter_stats=iter_stats, training=training,
             )
             iter_stats["runtime/retrieve"] = (time.time() - retrieve_start, 1)
-        reader_tok, retriever_tok = self.tokenize_passages(query, passages)
+        reader_tok, retriever_tok = self.tokenize_passages(
+            query, passages, sync_buckets=True)  # feeds GLOBAL batch arrays
         batch = {
             "reader_ids": reader_tok["input_ids"],
             "reader_mask": reader_tok["attention_mask"],

@@ -80,19 +80,16 @@ class ShardedCorpusEmbedder:
 
     # --------------------------------------------------------------------- host
 
-    # Power-of-two-ish length buckets: the embed cost is proportional to the padded
-    # length, and wiki passages average ~1/3 of text_maxlength. Bucketing pads each
-    # slab to the smallest bucket >= its longest sequence — a handful of compiled
-    # shapes instead of per-slab recompiles (the reference pads "longest" per batch,
-    # atlas.py:70-76, which would recompile XLA every step).
-    LENGTH_BUCKETS = (32, 64, 128, 192, 256, 384, 512)
-
+    # Length buckets (utils/buckets.py, shared with batch tokenization): the
+    # embed cost is proportional to the padded length, and wiki passages average
+    # ~1/3 of text_maxlength. Bucketing pads each slab to the smallest bucket >=
+    # its longest sequence — a handful of compiled shapes instead of per-slab
+    # recompiles (the reference pads "longest" per batch, atlas.py:70-76, which
+    # would recompile XLA every step).
     def _bucket(self, longest: int) -> int:
-        cap = self.atlas._retr_maxlen()
-        for b in self.LENGTH_BUCKETS:
-            if b >= longest and b <= cap:
-                return b
-        return cap
+        from atlas_tpu.utils.buckets import pick_bucket
+
+        return pick_bucket(longest, self.atlas._retr_maxlen())
 
     def _tokenize_slab(self, start_local: int) -> tuple:
         """Assemble the token slab for THIS PROCESS's devices: segment d holds local

@@ -934,18 +934,22 @@ def t5_decode_step(
         return ((h @ q.astype(h.dtype)) * s).astype(h.dtype)
 
     def layer(x, xs):
+        def proj(h, lp, idx, plain_key, w8_key, stream_w=None):
+            """One projection, dispatched once: int8 codes+scale (w8) /
+            streaming Pallas kernel (decode_stream) / plain scan-slice matmul."""
+            if w8:
+                return qmm(h, lp[w8_key], lp[w8_key + "_scale"])
+            if stream_w is not None:
+                return stream_matmul_stacked(h[:, 0], stream_w, idx)[:, None]
+            return h @ lp[plain_key]
         if int8_cache:
             idx, lp, sk, sv, ck, cv, ks, vs = xs
         else:
             idx, lp, sk, sv, ck, cv = xs
             ks = vs = None
         h = rms_norm(x, lp["ln1"], cfg.layer_norm_epsilon)
-        if w8:
-            qkv = qmm(h, lp["wqkv"], lp["wqkv_scale"])
-        elif s_qkv:
-            qkv = stream_matmul_stacked(h[:, 0], wqkv, idx)[:, None]
-        else:
-            qkv = h @ lp["wqkv"]  # (B, 1, 3I): one matmul instead of three
+        # (B, 1, 3I): one matmul instead of three
+        qkv = proj(h, lp, idx, "wqkv", "wqkv", wqkv if s_qkv else None)
         q = _split_heads(qkv[..., :inner], cfg.num_heads)
         new_k = _split_heads(qkv[..., inner : 2 * inner], cfg.num_heads)  # (B,H,1,Dh)
         new_v = _split_heads(qkv[..., 2 * inner :], cfg.num_heads)
@@ -953,19 +957,11 @@ def t5_decode_step(
         sv = jax.lax.dynamic_update_slice(sv, new_v.astype(sv.dtype), (0, 0, pos, 0))
         a = dot_product_attention(q, sk, sv, bias=self_bias)
         am = _merge_heads(a)
-        if w8:
-            x = x + qmm(am, lp["w8_self_o"], lp["w8_self_o_scale"])
-        elif s_proj:
-            x = x + stream_matmul_stacked(am[:, 0], layers["self_attn"]["o"], idx)[:, None]
-        else:
-            x = x + am @ lp["self_o"]
+        x = x + proj(am, lp, idx, "self_o", "w8_self_o",
+                     layers["self_attn"]["o"] if s_proj else None)
         h = rms_norm(x, lp["ln2"], cfg.layer_norm_epsilon)
-        if w8:
-            cq = qmm(h, lp["w8_cross_q"], lp["w8_cross_q_scale"])
-        elif s_proj:
-            cq = stream_matmul_stacked(h[:, 0], layers["cross_attn"]["q"], idx)[:, None]
-        else:
-            cq = h @ lp["cross_q"]
+        cq = proj(h, lp, idx, "cross_q", "w8_cross_q",
+                  layers["cross_attn"]["q"] if s_proj else None)
         q = _split_heads(cq, cfg.num_heads)  # (B,H,1,Dh)
         kf = ck.astype(q.dtype) if int8_cache else ck  # int8 codes -> compute dtype
         vf = cv.astype(q.dtype) if int8_cache else cv
@@ -992,12 +988,8 @@ def t5_decode_step(
         else:
             a = dot_product_attention(q, ck, cv, bias=cross_bias)
         am = _merge_heads(a)
-        if w8:
-            x = x + qmm(am, lp["w8_cross_o"], lp["w8_cross_o_scale"])
-        elif s_proj:
-            x = x + stream_matmul_stacked(am[:, 0], layers["cross_attn"]["o"], idx)[:, None]
-        else:
-            x = x + am @ lp["cross_o"]
+        x = x + proj(am, lp, idx, "cross_o", "w8_cross_o",
+                     layers["cross_attn"]["o"] if s_proj else None)
         h = rms_norm(x, lp["ln3"], cfg.layer_norm_epsilon)
         if w8:
             a8 = (h @ lp["w8_wi"].astype(h.dtype)) * lp["w8_wi_scale"]

@@ -214,8 +214,11 @@ def fused_vmem_bytes(d: FusedDims) -> int:
     # qkv row block + self_o/cross_o contraction blocks + cross_q row block
     w = (d.BQ3 * D + 3 * D * d.BI) * wdt * 2
     w += ((2 + d.gated) * d.blk_f * D + d.blk_v * D) * wdt * 2
-    if d.int8w:  # per-output-channel scale tables (f32, 8 lanes wide)
-        w += (d.BQ3 + d.BI + D + d.blk_f + d.blk_v) * 8 * 4 * 2
+    w += D * 128 * dt * 2  # lnsT block: (D, 8) occupies full 128-lane tiles
+    if d.int8w:
+        # per-output-channel scale tables: logically 8 lanes wide, but VMEM
+        # tiles are 128 lanes regardless (same correction as `lanes` below)
+        w += (d.BQ3 + d.BI + D + d.blk_f + d.blk_v) * 128 * 4 * 2
     self_b = d.B * I * d.Tmax * dt * 8  # k+v, in+out buffers, double-buffered
     cross_b = d.Bc * I * d.blk_l * cs * 4
     scale_b = d.Bc * d.H * d.blk_l * 4 * 4 if d.int8 else 0

@@ -150,11 +150,17 @@ def main():
     atlas.cfg = cfg7
     short = [[{"title": "a", "text": "hi"}, {"title": "b", "text": "yo"}]]
     longer = [[{"title": "c", "text": "x" * 50}, {"title": "d", "text": "y" * 45}]]
-    tok7, _ = atlas.tokenize_passages(["q"], short if pid == 0 else longer)
+    tok7, _ = atlas.tokenize_passages(["q"], short if pid == 0 else longer,
+                                      sync_buckets=True)  # the train-path mode
     L7 = tok7["input_ids"].shape[-1]
     gathered = multihost_utils.process_allgather(np.int32(L7))
     assert int(gathered.min()) == int(gathered.max()), gathered  # same bucket
     assert L7 in atlas.LENGTH_BUCKETS and L7 < 128, L7  # bucketed, not cap
+    # the eval-path mode is collective-free: a LOCAL tokenize on one rank only
+    # must not hang (this is what ragged multi-host eval does on real batches)
+    if pid == 0:
+        tl, _ = atlas.tokenize_passages(["q"], short)
+        assert tl["input_ids"].shape[-1] == 32, tl["input_ids"].shape
 
     print(f"WORKER{pid} OK", flush=True)
 

@@ -217,6 +217,18 @@ def test_fused_blocked_projections_match_xla(cache_dtype, monkeypatch):
     ls2, _ = t5_decode_step(params, cfg_off, tok1, jnp.int32(1), cache_s)
     np.testing.assert_allclose(np.asarray(lf2), np.asarray(ls2), atol=2e-3, rtol=1e-3)
 
+    # int8 weights x blocked projections — the production t5-xl "int8:w8"
+    # geometry: the blocked scale tables (sqkv/scq indexed past block 0) must
+    # reproduce the unblocked int8w step exactly (same quantization both sides,
+    # only the blocking differs)
+    cfg_w8 = cfg.__class__(**{**cfg.__dict__, "decode_weights": "int8"})
+    cache_wb = init_decode_cache(params, cfg_w8, enc, enc_mask, MAXLEN)
+    lb, _ = t5_decode_step(params, cfg_w8, tok0, jnp.int32(0), cache_wb)
+    monkeypatch.setattr(t5mod, "_fused_dims", real)  # unblocked geometry
+    cache_wu = init_decode_cache(params, cfg_w8, enc, enc_mask, MAXLEN)
+    lu, _ = t5_decode_step(params, cfg_w8, tok0, jnp.int32(0), cache_wu)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(lu), atol=1e-4, rtol=1e-4)
+
 
 @pytest.mark.parametrize(
     "path,ffn,cache_dtype",

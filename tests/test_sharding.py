@@ -126,3 +126,12 @@ def test_tp_sharded_generate_matches_replicated(mesh):
         lambda p: beam_generate(p, cfg, ids, mask, max_length=8, num_beams=2)
     )(sharded))
     assert (beam_rep == beam_sh).all(), (beam_rep, beam_sh)
+
+    # int8 decode weights under TP sharding (the big-reader serving config):
+    # quantization of mp-sharded params runs under GSPMD in the decode-cache
+    # build and must reproduce the replicated quantized tokens exactly
+    cfg8 = cfg.__class__(**{**cfg.__dict__, "decode_weights": "int8"})
+    tok8_rep = np.asarray(greedy_generate(params, cfg8, ids, mask, max_length=8))
+    tok8_sh = np.asarray(jax.jit(
+        lambda p: greedy_generate(p, cfg8, ids, mask, max_length=8))(sharded))
+    assert (tok8_rep == tok8_sh).all(), (tok8_rep, tok8_sh)
