@@ -333,22 +333,53 @@ def _run_one(name: str) -> None:
     print("BENCH_JSON " + json.dumps(b()), flush=True)
 
 
+def _error_line(name: str, err: str) -> None:
+    print(json.dumps({"metric": name, "value": None, "unit": "error",
+                      "vs_baseline": 0.0, "error": err[:200]}), flush=True)
+
+
 def _run_isolated(bench) -> None:
     """One metric in its own subprocess (fresh device context)."""
     import subprocess
     import sys
 
-    r = subprocess.run([sys.executable, __file__, bench.__name__],
-                       capture_output=True, text=True, timeout=1800)
+    try:
+        r = subprocess.run([sys.executable, __file__, bench.__name__],
+                           capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        _error_line(bench.__name__, "timed out after 1800s (tunnel hang?)")
+        return
     line = next((l for l in r.stdout.splitlines()
                  if l.startswith("BENCH_JSON ")), None)
     if line is not None:
         print(line[len("BENCH_JSON "):], flush=True)
     else:
         err = (r.stderr.strip().splitlines() or ["no output"])[-1]
-        print(json.dumps({"metric": bench.__name__, "value": None,
-                          "unit": "error", "vs_baseline": 0.0,
-                          "error": err[:200]}), flush=True)
+        _error_line(bench.__name__, err)
+
+
+def _tunnel_alive(wait_s: float = 900.0) -> bool:
+    """Probe the device backend from a SUBPROCESS with a timeout: when the axon
+    tunnel is down, any in-process device op (even jax.devices()) blocks
+    forever — observed for 5+ hours straight — which would hang the whole
+    bench run with no output. Retries for up to wait_s before giving up."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + wait_s
+    code = ("import jax, numpy as np; "
+            "print('ok', float(np.asarray(jax.numpy.ones((8,128))).sum()))")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", code], timeout=150,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return False
+        time.sleep(60)
 
 
 def main():
@@ -358,8 +389,29 @@ def main():
     # subprocess so a RESOURCE_EXHAUSTED cannot poison the remaining metrics
     # (observed once: a mid-suite OOM failed every later bench in-process).
     import gc
+    import os
+    import threading
+
+    if not _tunnel_alive():
+        for b in BENCHES:
+            _error_line(b.__name__, "tpu backend unreachable (tunnel down)")
+        return
+
+    # A tunnel death MID-suite blocks the in-process device call forever (no
+    # exception to catch) — a per-metric watchdog emits error lines for the
+    # remaining metrics and hard-exits so the driver still gets valid output.
+    hang_s = 3600.0
 
     for i, b in enumerate(BENCHES):
+        done = threading.Event()
+
+        def _reaper(i=i, done=done):
+            if not done.wait(hang_s):
+                for rest in BENCHES[i:]:
+                    _error_line(rest.__name__, f"hung > {hang_s:.0f}s (tunnel?)")
+                os._exit(3)
+
+        threading.Thread(target=_reaper, daemon=True).start()
         try:
             print(json.dumps(b()), flush=True)
         except Exception:
@@ -372,9 +424,12 @@ def main():
             try:
                 print(json.dumps(b()), flush=True)
             except Exception:
+                done.set()
                 for rest in BENCHES[i:]:  # incl. b: fresh context + error line
                     _run_isolated(rest)
                 return
+        finally:
+            done.set()
         jax.clear_caches()
         gc.collect()
 
