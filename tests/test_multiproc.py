@@ -41,12 +41,19 @@ def test_two_process_integration(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=1200)
+            out, _ = p.communicate(timeout=1800)
             outs.append(out)
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    for pid, out in enumerate(outs):
+        # persist full worker output — pytest summaries truncate it, and this
+        # test has flaked under full-suite CPU contention; the log survives
+        with open(f"/tmp/multiproc_worker{pid}.log", "w") as f:
+            f.write(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+        assert p.returncode == 0, (
+            f"worker {pid} rc={p.returncode} (full log: /tmp/multiproc_worker{pid}.log)"
+            f"\n{out[-4000:]}")
         assert f"WORKER{pid} OK" in out, out[-2000:]

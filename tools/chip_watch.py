@@ -30,6 +30,7 @@ QUEUE = [
       "int8,int8:w8"], 3600),
     (["python", "-u", "tools/bench_greedy_fused.py", "google/t5-xl-lm-adapt", "20",
       "int8,int8:w8"], 5400),
+    (["python", "-u", "tools/bench_beam_w8.py", "t5-large", "20", "int8"], 3600),
 ]
 
 
