@@ -787,22 +787,34 @@ def init_decode_cache(
         num_buckets=cfg.relative_attention_num_buckets,
         max_distance=cfg.relative_attention_max_distance,
     )[0] + jnp.where(tpos[:, None] >= tpos[None, :], 0.0, NEG_INF)[None]  # (H,T,T)
-    ck, cv = proj(ca["k"]), proj(ca["v"])
     kscale = vscale = None
     if getattr(cfg, "decode_cache_dtype", "bf16") == "int8":
         # per-key-vector symmetric int8: k = k_q * ks with ks = max|k| / 127 over
         # Dh. Exact per-key rescale: q.k = (q.k_q) * ks applied to the score, and
         # p.v = (p * vs) . v_q folded into the probabilities — the cache read
         # (the decode bandwidth floor at Lk = N*L) halves.
-        def quant(x):  # (nL, B, H, Lk, Dh) -> int8 codes + (nL, B, H, Lk) scales
+        #
+        # Built ONE LAYER AT A TIME (lax.map, a sequential scan): quantization
+        # routes the cross K/V through f32, and at t5-xl shapes the all-layer
+        # f32 stack is 7.5G that XLA materializes (with a 2x layout-padding
+        # copy on top — 15G, a hard OOM on a 16G chip). Per-layer the f32
+        # temp is 1/nL of that; the codes are the only all-layer tensors.
+        def quant(x):  # (B, H, Lk, Dh) -> int8 codes + (B, H, Lk) scales
             a = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
             s = jnp.maximum(a, 1e-8) / 127.0
             codes = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
                              -127, 127).astype(jnp.int8)
             return codes, s.astype(jnp.float32)
 
-        ck, kscale = quant(ck)
-        cv, vscale = quant(cv)
+        def build_layer(wkv):
+            wk, wv = wkv
+            kc, ks = quant(_split_heads(enc @ wk, H))
+            vc, vs = quant(_split_heads(enc @ wv, H))
+            return kc, ks, vc, vs
+
+        ck, kscale, cv, vscale = jax.lax.map(build_layer, (ca["k"], ca["v"]))
+    else:
+        ck, cv = proj(ca["k"]), proj(ca["v"])
 
     if _fused_decode_ok(cfg, B, self_batch, encoder_mask.shape[-1], max_len):
         return _build_fused_cache(

@@ -283,7 +283,10 @@ def bench_decode():
 
     B, N, L, GEN = 8, 20, 256, 32
     cfg = t5_config_for("t5-base", dtype=jnp.bfloat16)
-    cfg = dataclasses.replace(cfg, dropout_rate=0.0)
+    # Serving config: int8 cross-KV cache halves the per-token cache read and is
+    # token-identical to bf16 at this exact shape (chip-verified, CLAUDE.md decode
+    # rows); the fused whole-step kernel auto-engages on TPU greedy.
+    cfg = dataclasses.replace(cfg, dropout_rate=0.0, decode_cache_dtype="int8")
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
                           init_t5(jax.random.PRNGKey(0), cfg))
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, N, L), 0, 32000)
