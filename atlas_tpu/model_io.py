@@ -214,6 +214,16 @@ def init_atlas_model(cfg: AtlasConfig) -> Tuple[Atlas, int]:
 # ------------------------------------------------------------------ save / load
 
 
+def _sync_processes(tag: str) -> None:
+    """Cross-process barrier so rank-0-only files (meta.json, `latest`) are
+    visible before any rank's save_atlas_model returns (a resume immediately
+    after save would otherwise race, like the save_index race in index/flat.py)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 def _symlink_force(target, link_name):
     try:
         os.symlink(target, link_name)
@@ -275,40 +285,159 @@ def save_atlas_model(atlas: Atlas, opt_state, step: int, cfg: AtlasConfig,
             with open(os.path.join(epoch_path, "meta.json"), "w") as f:
                 json.dump({"step": step, "cfg": asdict(cfg)}, f)
             _symlink_force(epoch_path, os.path.join(path, "latest"))
+        _sync_processes("atlas_tpu:save_atlas_model")  # meta/symlink are rank-0 writes
         return
 
-    if not cfg.is_main:
-        return
-    os.makedirs(epoch_path, exist_ok=True)
-    flat = tree_to_flat({"reader": atlas.reader_params, "retriever": atlas.retriever_params}, "model")
-    if cfg.save_optimizer and opt_state is not None:
-        flat.update(tree_to_flat(opt_state, "optimizer"))
-    np.savez(os.path.join(epoch_path, "state.npz"), **flat)
-    with open(os.path.join(epoch_path, "meta.json"), "w") as f:
-        json.dump({"step": step, "cfg": asdict(cfg)}, f)
-    _symlink_force(epoch_path, os.path.join(path, "latest"))
+    if cfg.is_main:
+        os.makedirs(epoch_path, exist_ok=True)
+        flat = tree_to_flat({"reader": atlas.reader_params, "retriever": atlas.retriever_params}, "model")
+        if cfg.save_optimizer and opt_state is not None:
+            flat.update(tree_to_flat(opt_state, "optimizer"))
+        np.savez(os.path.join(epoch_path, "state.npz"), **flat)
+        with open(os.path.join(epoch_path, "meta.json"), "w") as f:
+            json.dump({"step": step, "cfg": asdict(cfg)}, f)
+        _symlink_force(epoch_path, os.path.join(path, "latest"))
+    _sync_processes("atlas_tpu:save_atlas_model")
 
 
-def load_atlas_model(dir_path: str, cfg: AtlasConfig, reset_params=False, eval_only=False):
+def _flat_restore_shardings(cfg: AtlasConfig, mesh, params) -> Dict[str, Any]:
+    """Flat {'.'-keyed checkpoint path: (NamedSharding, shape)} for the model tree.
+
+    Mirrors _tree_to_flat_arrays' key generation over the SAME sharding specs the
+    train loop places params with (atlas_param_specs + optional fsdp widening), so
+    orbax can restore every leaf directly onto its mesh placement — the reference
+    resume path (model_io.py:170-197) materializes the whole state dict on host,
+    which caps resumable model size at host RAM.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+    from atlas_tpu.parallel.sharding import atlas_param_specs, fsdp_param_specs, to_shardings
+
+    specs = atlas_param_specs(params)
+    if cfg.shard_optim or cfg.shard_grads:
+        specs = fsdp_param_specs(
+            {k: v for k, v in params.items() if v is not None}, specs,
+            mesh.shape.get("dp", 1),
+        )
+    shardings = to_shardings(mesh, specs)
+    repl = NamedSharding(mesh, PartitionSpec())
+    out: Dict[str, Any] = {}
+
+    def rec(node, sh, path):
+        if isinstance(node, dict):
+            if not node:
+                out[path + ".__empty__"] = (repl, (1,))
+                return
+            for k, v in node.items():
+                sub = sh.get(k) if isinstance(sh, dict) else None
+                rec(v, sub, f"{path}.{k}")
+        elif node is None:
+            out[path + ".__none__"] = (repl, (1,))
+        else:
+            out[path] = (sh if isinstance(sh, NamedSharding) else repl,
+                         tuple(np.shape(node)))
+
+    rec(serialization.to_state_dict(params), shardings, "model")
+    return out
+
+
+def _checkpoint_restore_args(cfg: AtlasConfig, mesh, params, ckpt_meta) -> Dict[str, Any]:
+    """Per-checkpoint-key orbax ArrayRestoreArgs with target shardings.
+
+    Model keys match exactly (incl. a tied->untied alias, reference surgery
+    model_io.py:62-71). Optimizer moment keys (e.g. optimizer.reader.0.mu.<path>)
+    are matched to their param by longest key-path suffix + shape — the same rule
+    train/step.py's _opt_state_shardings uses to place freshly-initialized moments,
+    so restored optimizer state lands exactly where the jitted step expects it.
+    """
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    model_map = _flat_restore_shardings(cfg, mesh, params)
+    repl = NamedSharding(mesh, PartitionSpec())
+    # suffix table: "<subpath>" -> (sharding, shape) per tower
+    suffixes = []
+    for mk, (sh, shape) in model_map.items():
+        parts = mk.split(".", 2)  # "model", tower, subpath
+        if len(parts) == 3 and not parts[2].endswith(("__none__", "__empty__")):
+            suffixes.append((parts[1], parts[2], sh, shape))
+
+    def assign(key: str, shape) -> Any:
+        hit = model_map.get(key)
+        if hit is not None and hit[1] == tuple(shape):
+            return hit[0]
+        # tied checkpoint restored into an untied config: contriever.<x> keys map
+        # onto the query tower's placement (untie_retriever duplicates after)
+        if key.startswith("model.retriever.contriever."):
+            alt = model_map.get(
+                "model.retriever.query_contriever." + key[len("model.retriever.contriever."):])
+            if alt is not None and alt[1] == tuple(shape):
+                return alt[0]
+        if key.startswith("optimizer."):
+            best = None
+            for tower, sub, sh, pshape in suffixes:
+                if (key.startswith(f"optimizer.{tower}.") and key.endswith("." + sub)
+                        and pshape == tuple(shape)):
+                    if best is None or len(sub) > len(best[0]):
+                        best = (sub, sh)
+            if best is not None:
+                return best[1]
+        return repl
+
+    args: Dict[str, Any] = {}
+    for key, m in ckpt_meta.items():
+        args[key] = ocp.ArrayRestoreArgs(
+            restore_type=jax.Array, sharding=assign(key, m.shape)
+        )
+    return args
+
+
+def _as_device_array(x):
+    """jnp.asarray for host leaves; global/sharded jax arrays pass through
+    (jnp.asarray on a non-fully-addressable array would force a transfer)."""
+    return x if isinstance(x, jax.Array) else jnp.asarray(x)
+
+
+def load_atlas_model(dir_path: str, cfg: AtlasConfig, reset_params=False, eval_only=False,
+                     mesh=None):
     epoch_path = os.path.realpath(dir_path)
     with open(os.path.join(epoch_path, "meta.json")) as f:
         meta = json.load(f)
     known = {k: v for k, v in meta["cfg"].items() if k in AtlasConfig.__dataclass_fields__}
     cfg_checkpoint = AtlasConfig(**known)
     step = meta["step"]
+
+    reader_cfg, reader_params, reader_tok = load_reader(cfg)
+    retr_cfg, retr_params, retr_tok = load_retriever(cfg, cfg_checkpoint)
+
     npz_path = os.path.join(epoch_path, "state.npz")
     if os.path.exists(npz_path):
         data = dict(np.load(npz_path, allow_pickle=False))
     else:  # orbax step dir (format auto-detected so npz runs can resume orbax ones)
         import orbax.checkpoint as ocp
+        from atlas_tpu.parallel.mesh import get_mesh
 
-        raw = ocp.PyTreeCheckpointer().restore(
-            os.path.abspath(os.path.join(epoch_path, "state.orbax"))
-        )
-        data = {k.replace(".", "/"): np.asarray(v) for k, v in raw.items()}
-
-    reader_cfg, reader_params, reader_tok = load_reader(cfg)
-    retr_cfg, retr_params, retr_tok = load_retriever(cfg, cfg_checkpoint)
+        sp = os.path.abspath(os.path.join(epoch_path, "state.orbax"))
+        ckpt = ocp.PyTreeCheckpointer()
+        if mesh is None:
+            mesh = get_mesh(cfg.dp_size, cfg.mp_size)
+        try:
+            ckpt_meta = dict(ckpt.metadata(sp).item_metadata.items())
+            want_opt = not (reset_params or eval_only)
+            if not want_opt:
+                ckpt_meta = {k: v for k, v in ckpt_meta.items()
+                             if not k.startswith("optimizer.")}
+            restore_args = _checkpoint_restore_args(
+                cfg, mesh, {"reader": reader_params, "retriever": retr_params}, ckpt_meta
+            )
+            raw = ckpt.restore(
+                sp, item={k: 0 for k in ckpt_meta}, restore_args=restore_args,
+                transforms={},
+            )
+            data = {k.replace(".", "/"): v for k, v in raw.items()}
+        except Exception as e:
+            logger.warning("sharded orbax restore failed (%s); falling back to host restore", e)
+            raw = ckpt.restore(sp)
+            data = {k.replace(".", "/"): np.asarray(v) for k, v in raw.items()}
 
     model_flat = {k[len("model/"):]: v for k, v in data.items() if k.startswith("model/")}
     saved = flat_to_tree(model_flat, None)
@@ -318,9 +447,9 @@ def load_atlas_model(dir_path: str, cfg: AtlasConfig, reset_params=False, eval_o
     if saved_retr is not None and retr_params is not None:
         if "contriever" in saved_retr and "query_contriever" in retr_params:
             saved_retr = untie_retriever(saved_retr)
-        saved_retr = jax.tree.map(jnp.asarray, saved_retr)
+        saved_retr = jax.tree.map(_as_device_array, saved_retr)
     if not cfg.retrieve_only and saved_reader is not None:
-        reader_params = jax.tree.map(jnp.asarray, saved_reader)
+        reader_params = jax.tree.map(_as_device_array, saved_reader)
     if not cfg.use_file_passages and saved_retr is not None:
         retr_params = saved_retr
 
@@ -333,7 +462,7 @@ def load_atlas_model(dir_path: str, cfg: AtlasConfig, reset_params=False, eval_o
     return atlas, opt_state_raw, cfg_checkpoint, step
 
 
-def load_or_initialize_atlas_model(cfg: AtlasConfig, eval_only=False):
+def load_or_initialize_atlas_model(cfg: AtlasConfig, eval_only=False, mesh=None):
     """Fresh / resume / finetune resolution (model_io.py:170-197).
     -> (atlas, raw_opt_state_or_None, step)."""
     checkpoint_path = get_checkpoint_path(cfg)
@@ -348,7 +477,7 @@ def load_or_initialize_atlas_model(cfg: AtlasConfig, eval_only=False):
         load_path, reset_params = cfg.model_path, True
 
     atlas, opt_state_raw, _, loaded_step = load_atlas_model(
-        load_path, cfg, reset_params=reset_params, eval_only=eval_only
+        load_path, cfg, reset_params=reset_params, eval_only=eval_only, mesh=mesh
     )
     logger.info(f"Model loaded from {load_path}")
     step = 0 if cfg.model_path != "none" else loaded_step

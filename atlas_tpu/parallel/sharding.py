@@ -108,12 +108,36 @@ def batch_specs(batch: Dict[str, Any]) -> Dict[str, Any]:
     return {k: P("dp") for k in batch}
 
 
+def put_global(x, sharding):
+    """Place a leaf onto a (possibly multi-process) NamedSharding.
+
+    Host arrays can't device_put onto non-addressable shardings; every process
+    holds the SAME full array (npz checkpoints store replicated host copies), so
+    each contributes its addressable slices via make_array_from_callback.
+    """
+    import numpy as np
+
+    if isinstance(x, jax.Array) or jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def place_like(new, old):
+    """Place `new` where `old` lives; pass through when already there."""
+    if not hasattr(old, "sharding") or not hasattr(new, "shape"):
+        return new
+    if isinstance(new, jax.Array) and new.sharding == old.sharding:
+        return new
+    return put_global(new, old.sharding)
+
+
 def shard_params(mesh: Mesh, params, specs=None):
     """Place a param tree onto the mesh with the given (or derived) specs."""
     if specs is None:
         specs = atlas_param_specs(params)
     shardings = to_shardings(mesh, specs)
-    return jax.tree.map(lambda x, s: jax.device_put(x, s), params, shardings)
+    return jax.tree.map(put_global, params, shardings)
 
 
 def _spec_axes(spec) -> set:

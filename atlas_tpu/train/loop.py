@@ -111,18 +111,30 @@ def train(
     params = shard_params(mesh, params, specs)
     state = create_train_state(params, reader_opt, retr_opt, cfg.accumulation_steps)
     # params must actually be distributed over the mesh, not resident on device 0
+    # — EVERY tower (a partially-placed tree would pass a single-leaf check)
     n_mesh_devices = mesh.devices.size
-    for leaf in jax.tree.leaves(state.params):
-        assert len(leaf.sharding.device_set) == n_mesh_devices, (
-            f"param leaf not distributed: {leaf.sharding} vs {n_mesh_devices} devices"
-        )
-        break
+    for tower, tree in state.params.items():
+        if tree is None:
+            continue
+        for leaf in jax.tree.leaves(tree):
+            assert len(leaf.sharding.device_set) == n_mesh_devices, (
+                f"{tower} param leaf not distributed: {leaf.sharding} vs "
+                f"{n_mesh_devices} devices"
+            )
+            break
     if opt_state_raw is not None:
         from atlas_tpu.model_io import flat_to_tree  # restore optimizer state
+        from atlas_tpu.parallel.sharding import place_like
 
         try:
-            state = state._replace(opt_state=flat_to_tree(opt_state_raw, state.opt_state)
-                                   if isinstance(opt_state_raw, dict) else opt_state_raw)
+            restored = (flat_to_tree(opt_state_raw, state.opt_state)
+                        if isinstance(opt_state_raw, dict) else opt_state_raw)
+            # place each restored leaf on the sharding the fresh opt state carries
+            # (FSDP/ZeRO placements): orbax-sharded leaves are already there (a
+            # no-op); host-numpy npz leaves get placed up front instead of the
+            # donated jitted step silently paying the transfer at step 1
+            restored = jax.tree.map(place_like, restored, state.opt_state)
+            state = state._replace(opt_state=restored)
         except Exception as e:
             logger.warning("could not restore optimizer state: %s", e)
     state = state._replace(step=state.step + step)

@@ -30,7 +30,7 @@ def main():
     if cfg.is_main:
         cfg.dump(os.path.join(checkpoint_path, "opt.log"))
 
-    atlas, _, step = load_or_initialize_atlas_model(cfg, eval_only=True)
+    atlas, _, step = load_or_initialize_atlas_model(cfg, eval_only=True, mesh=mesh)
     # distribute params + eval batches over the mesh (TP over "mp", replicated
     # over "dp"; batches shard over "dp" via atlas.set_mesh)
     from atlas_tpu.parallel.sharding import shard_params

@@ -276,3 +276,83 @@ def test_overlapped_refresh_in_loop(setup, tmp_path):
     emb_after = np.asarray(jax.device_get(index.embeddings[:8]))
     assert not np.allclose(emb_before, emb_after, atol=1e-5)
     atlas._corpus_embedder = None
+
+
+def test_sharded_orbax_restore_fsdp(setup, tmp_path):
+    """Sharded checkpoint RESTORE (reference resume role model_io.py:170-197 at
+    11B scale): an FSDP(+TP) orbax checkpoint restores each leaf DIRECTLY onto
+    its mesh placement (no host materialization), optimizer moments land on
+    their param's FSDP sharding, and training continues bit-identically."""
+    import dataclasses
+
+    from atlas_tpu.model_io import flat_to_tree, load_or_initialize_atlas_model, save_atlas_model
+    from atlas_tpu.parallel.mesh import make_mesh
+    from atlas_tpu.parallel.sharding import (
+        atlas_param_specs, fsdp_param_specs, place_like, shard_params, to_shardings,
+    )
+
+    atlas, index, cfg0 = setup
+    mesh = make_mesh(4, 2)
+    cfg = dataclasses.replace(cfg0, checkpoint_dir=str(tmp_path), name="fsdpres",
+                              save_optimizer=True, checkpoint_format="orbax",
+                              shard_optim=True, dp_size=4, mp_size=2,
+                              tiny_model=True)  # restore shardings are computed
+    # from the freshly-built param structure; tiny_model makes it match the
+    # tiny checkpoint's shapes so the spec assignment engages
+    # build via init_atlas_model so the save-side model carries the SAME configs
+    # the restore side will construct (the fixture's tiny_atlas uses different
+    # rel-pos bucketing, which would make the continuation diverge)
+    from atlas_tpu.model_io import init_atlas_model
+
+    atlas_a, _ = init_atlas_model(cfg)
+    atlas_a.set_mesh(mesh)
+    reader_opt, retr_opt = make_optimizers(cfg)
+    params = {"reader": atlas_a.reader_params, "retriever": atlas_a.retriever_params}
+    specs = atlas_param_specs(params)
+    specs = fsdp_param_specs(params, specs, 4)
+    sharded = shard_params(mesh, params, specs)
+    state = create_train_state(sharded, reader_opt, retr_opt)
+    step_fn = make_train_step(atlas_a, cfg, reader_opt, retr_opt)
+    batch = _batch(atlas_a, index)
+    for _ in range(2):
+        state, _ = step_fn(state, batch, jax.random.PRNGKey(0), True)
+
+    want_params = jax.tree.map(np.asarray, state.params)  # host copies (donation)
+    atlas_a.reader_params = state.params["reader"]
+    atlas_a.retriever_params = state.params["retriever"]
+    save_atlas_model(atlas_a, state.opt_state, step=2, cfg=cfg,
+                     dir_path=tmp_path / "fsdpres", name="step-2")
+
+    # restore: leaves must come back as jax Arrays already on their spec sharding
+    atlas2, opt_raw, step2 = load_or_initialize_atlas_model(cfg, mesh=mesh)
+    assert step2 == 2 and opt_raw is not None
+    params2 = {"reader": atlas2.reader_params, "retriever": atlas2.retriever_params}
+    shardings = to_shardings(mesh, specs)
+    n_sharded_over_dp = 0
+    for (path, leaf), (_, want_sh) in zip(
+        jax.tree_util.tree_flatten_with_path(params2)[0],
+        jax.tree_util.tree_flatten_with_path(shardings)[0],
+    ):
+        assert isinstance(leaf, jax.Array) and leaf.sharding == want_sh, (
+            path, getattr(leaf, "sharding", type(leaf)), want_sh)
+        if "dp" in str(want_sh.spec):
+            n_sharded_over_dp += 1
+    assert n_sharded_over_dp > 0  # the fsdp widening really engaged
+
+    # restored params equal the trained ones
+    for w, g in zip(jax.tree.leaves(want_params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # optimizer moments restore onto the param shardings and continue bit-identically
+    state2 = create_train_state(params2, reader_opt, retr_opt)
+    restored = jax.tree.map(place_like, flat_to_tree(opt_raw, state2.opt_state),
+                            state2.opt_state)
+    for fresh, got in zip(jax.tree.leaves(state2.opt_state), jax.tree.leaves(restored)):
+        assert got.sharding == fresh.sharding, (got.sharding, fresh.sharding)
+    state2 = state2._replace(opt_state=restored, step=jnp.int32(2))
+    atlas2.set_mesh(mesh)
+    step_fn2 = make_train_step(atlas2, cfg, reader_opt, retr_opt)
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(0), True)
+    state2, _ = step_fn2(state2, batch, jax.random.PRNGKey(0), True)
+    for w, g in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -35,7 +35,7 @@ def main():
         cfg.dump(os.path.join(checkpoint_path, "opt.log"))
     logger.info(f"world size: {cfg.world_size}; mesh: {dict(mesh.shape)}")
 
-    atlas, opt_state_raw, step = load_or_initialize_atlas_model(cfg)
+    atlas, opt_state_raw, step = load_or_initialize_atlas_model(cfg, mesh=mesh)
     dim = atlas.retriever_cfg.hidden_size if atlas.retriever_cfg is not None else 768
     index, passages = load_or_initialize_index(cfg, mesh, dim=dim)
 
