@@ -108,6 +108,44 @@ class Atlas:
     def embed_queries_device(self, ids, mask):
         return self._embed_jit(self.retriever_params, ids, mask, is_passages=False)
 
+    @staticmethod
+    def _params_multihost_global(params) -> bool:
+        """True when params span non-addressable devices (multi-host FSDP/TP):
+        per-process jit calls with DIFFERENT local inputs are then undefined SPMD
+        — every process must enter one global computation with identical or
+        globally-sharded inputs."""
+        for leaf in jax.tree.leaves(params):
+            return isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+        return False
+
+    def _embed_union(self, ids, mask, is_passages: bool) -> np.ndarray:
+        """Embed the UNION of all processes' token batches in ONE global SPMD
+        call and return THIS process's rows as host numpy. This is the
+        reference's varsize_all_gather-then-local protocol (src/index.py:127)
+        moved to the token level, required whenever the retriever params are
+        globally sharded (see _params_multihost_global)."""
+        from jax.experimental import multihost_utils
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ids, mask = np.asarray(ids), np.asarray(mask)
+        n_local = ids.shape[0]
+        counts = multihost_utils.process_allgather(
+            np.array([n_local], np.int64)).reshape(-1)
+        m = max(int(counts.max()), 1)
+
+        def pad(a):
+            out = np.zeros((m,) + a.shape[1:], a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        all_ids = multihost_utils.process_allgather(pad(ids)).reshape(-1, ids.shape[-1])
+        all_mask = multihost_utils.process_allgather(pad(mask)).reshape(-1, mask.shape[-1])
+        emb = self._embed_jit(self.retriever_params, jnp.asarray(all_ids),
+                              jnp.asarray(all_mask), is_passages=is_passages)
+        emb = jax.jit(lambda x: x, out_shardings=NamedSharding(self.mesh, P()))(emb)
+        start = jax.process_index() * m
+        return np.asarray(emb)[start : start + n_local]
+
     def embed_passages_device(self, ids, mask):
         """Frozen-snapshot passage embedding (the reference's fp16 deepcopy,
         atlas.py:54-59, is here just 'current params, cast, no grad')."""
@@ -266,8 +304,12 @@ class Atlas:
         self, index, topk, query, query_ids_retriever, query_mask_retriever,
         batch_metadata=None, filtering_fun=None, iter_stats={}, training=False,
     ):
-        q = self._put_local({"ids": query_ids_retriever, "mask": query_mask_retriever})
-        query_emb = self.embed_queries_device(q["ids"], q["mask"])
+        if jax.process_count() > 1 and self._params_multihost_global(self.retriever_params):
+            query_emb = self._embed_union(
+                query_ids_retriever, query_mask_retriever, is_passages=False)
+        else:
+            q = self._put_local({"ids": query_ids_retriever, "mask": query_mask_retriever})
+            query_emb = self.embed_queries_device(q["ids"], q["mask"])
         search_start = time.time()
         if filtering_fun is not None:
             passages, scores = index.search_knn(query_emb, topk * self.cfg.filtering_overretrieve_ratio)
@@ -294,15 +336,29 @@ class Atlas:
         flat = [fstr.format(**p) for ps in passages for p in ps]
         n = max(len(ps) for ps in passages)
         embed_bs = min(max(len(flat), 1), self.cfg.per_gpu_embedder_batch_size)
+        n_chunks = -(-len(flat) // embed_bs) or 1
+        union = jax.process_count() > 1 and self._params_multihost_global(self.retriever_params)
+        if union:
+            # _embed_union is a collective: every process must enter the SAME
+            # number of chunk calls even when its local rerank batch is smaller
+            from jax.experimental import multihost_utils
+
+            n_chunks = int(multihost_utils.process_allgather(
+                np.array([n_chunks], np.int64)).max())
         embs = []
-        for b in range(0, len(flat), embed_bs):
-            chunk = flat[b : b + embed_bs]
+        for ci in range(n_chunks):
+            chunk = flat[ci * embed_bs : (ci + 1) * embed_bs]
             chunk = chunk + [""] * (embed_bs - len(chunk))  # static shape
             tok = self.retriever_tokenizer(
                 chunk, padding="max_length", max_length=self._retr_maxlen(),
                 truncation=True, return_tensors="np",
             )
-            emb = self.embed_passages_device(jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]))
+            if union:
+                emb = self._embed_union(tok["input_ids"], tok["attention_mask"],
+                                        is_passages=True)
+            else:
+                emb = self.embed_passages_device(
+                    jnp.asarray(tok["input_ids"]), jnp.asarray(tok["attention_mask"]))
             embs.append(np.asarray(emb))
         passage_emb = np.concatenate(embs, axis=0)[: len(flat)].reshape(bsz, n, -1)
         qn = np.asarray(query_emb)

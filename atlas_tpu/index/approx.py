@@ -569,6 +569,9 @@ class DistributedApproxIndex(DistributedIndex):
         if self.quant:
             state = {k: np.asarray(v) for k, v in self.quant.items()}
             np.savez(self._quant_path(path), **state)
+        from atlas_tpu.index.flat import _sync_processes
+
+        _sync_processes("atlas_tpu:save_index_quant")
 
     def load_index(self, path: str, total_saved_shards: int) -> None:
         super().load_index(path, total_saved_shards)

@@ -57,34 +57,67 @@ class DocStore:
             out.append([table[int(g)] for g in row])
         return out
 
+    # epoch counter for the per-destination key namespace; _exchange is a
+    # collective (every process enters it together), so counters stay aligned
+    _exchange_epoch = 0
+
     def _exchange(self, needed: set) -> Dict[int, dict]:
-        """All-to-all host-side doc exchange over the process side channel."""
+        """Per-destination host-side doc exchange (reference semantics:
+        varsize_gather(dst=k), /root/reference/src/index.py:138-141 — each rank
+        receives ONLY the docs its own queries asked for).
+
+        Round 1 all-gathers the requested id-sets (8 bytes/id — the servers must
+        learn what is asked of them; a rank with zero queries still owns docs
+        everyone else needs). Round 2 routes each (server -> destination) doc
+        payload through the jax.distributed key-value store, so received bytes
+        per process scale with its own topk*B instead of O(P x union) as a
+        union-broadcast would."""
+        import jax
         from jax.experimental import multihost_utils
 
-        # Round 1: union the needed-id sets. A process only knows its OWN result
-        # ids; the ids it must SERVE belong to other processes' queries (a rank
-        # with zero queries still owns docs that everyone else needs).
         ids = np.fromiter(sorted(needed), dtype=np.int64, count=len(needed))
         id_sizes = multihost_utils.process_allgather(np.array([ids.size], dtype=np.int64))
         m = max(int(id_sizes.max()), 1)
         padded_ids = np.full((m,), -1, dtype=np.int64)
         padded_ids[: ids.size] = ids
         all_ids = multihost_utils.process_allgather(padded_ids)  # (P, m)
-        union = {int(g) for g in all_ids.reshape(-1) if g >= 0}
 
-        # Round 2: each process serves the union rows it owns.
-        local = self.lookup_local(sorted(union))
-        payload = pickle.dumps(local, protocol=pickle.HIGHEST_PROTOCOL)
-        buf = np.frombuffer(payload, dtype=np.uint8)
-        # pad to a common max length, exchange sizes first
-        import jax
+        client = getattr(getattr(jax, "_src", None) and __import__(
+            "jax._src.distributed", fromlist=["global_state"]).global_state, "client", None)
+        P = jax.process_count()
+        me = jax.process_index()
+        if client is None:  # no coordinator KV store: union broadcast fallback
+            union = {int(g) for g in all_ids.reshape(-1) if g >= 0}
+            local = self.lookup_local(sorted(union))
+            payload = pickle.dumps(local, protocol=pickle.HIGHEST_PROTOCOL)
+            buf = np.frombuffer(payload, dtype=np.uint8)
+            sizes = multihost_utils.process_allgather(np.array([buf.size], dtype=np.int64))
+            padded = np.zeros((int(sizes.max()),), dtype=np.uint8)
+            padded[: buf.size] = buf
+            gathered = multihost_utils.process_allgather(padded)
+            table: Dict[int, dict] = {}
+            for p in range(P):
+                table.update(pickle.loads(gathered[p, : int(sizes[p, 0])].tobytes()))
+            return table
 
-        sizes = multihost_utils.process_allgather(np.array([buf.size], dtype=np.int64))
-        max_size = int(sizes.max())
-        padded = np.zeros((max_size,), dtype=np.uint8)
-        padded[: buf.size] = buf
-        gathered = multihost_utils.process_allgather(padded)  # (P, max_size)
-        table: Dict[int, dict] = {}
-        for p in range(jax.process_count()):
-            table.update(pickle.loads(gathered[p, : int(sizes[p, 0])].tobytes()))
+        epoch = DocStore._exchange_epoch
+        DocStore._exchange_epoch += 1
+        # serve: one pickle per destination, holding only ITS requested rows we own
+        for d in range(P):
+            if d == me:
+                continue
+            want_d = [int(g) for g in all_ids[d, : int(id_sizes[d, 0])]]
+            payload = pickle.dumps(self.lookup_local(want_d),
+                                   protocol=pickle.HIGHEST_PROTOCOL)
+            client.key_value_set_bytes(f"atlas_docx/{epoch}/{me}/{d}", payload)
+        # receive: my docs from every other server; delete consumed keys (each
+        # key has exactly one reader, so no barrier is needed before delete)
+        table = self.lookup_local([int(g) for g in ids])
+        for s in range(P):
+            if s == me:
+                continue
+            key = f"atlas_docx/{epoch}/{s}/{me}"
+            got = client.blocking_key_value_get_bytes(key, 600_000)
+            table.update(pickle.loads(got))
+            client.key_value_delete(key)
         return table

@@ -41,6 +41,38 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _sync_processes(tag: str) -> None:
+    """Cross-process barrier (reference barriers after index work, atlas.py:83).
+    save_index -> load_index without this is a real race: rank 0's meta file and
+    other ranks' shard files are not guaranteed visible when save_index returns."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
+def _host_local_rows(x) -> np.ndarray:
+    """(B, D) queries -> this process's rows as host numpy.
+
+    In multi-host training the query embeddings arrive as a GLOBAL jax array
+    sharded over "dp" (atlas.embed_queries_device under set_mesh); np.asarray on
+    it raises (non-addressable devices). The process-local view search_knn's
+    union protocol wants is exactly the locally-addressable row block.
+    """
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x, dtype=np.float32)
+    seen, parts = set(), []
+    for s in sorted(x.addressable_shards, key=lambda sh: sh.index[0].start or 0):
+        assert s.data.shape[1:] == x.shape[1:], (
+            "search_knn queries must be sharded on rows only", s.index)
+        key = (s.index[0].start or 0, s.index[0].stop)
+        if key in seen:  # replicated copies on several local devices
+            continue
+        seen.add(key)
+        parts.append(np.asarray(s.data, dtype=np.float32))
+    return np.concatenate(parts, axis=0)
+
+
 class DistributedIndex:
     """Flat exact MIPS over a mesh-sharded embedding matrix."""
 
@@ -203,7 +235,7 @@ class DistributedIndex:
         search sees one identical replicated batch on every host — ragged or padding
         ranks included — then each process keeps its own rows.
         """
-        queries = np.asarray(queries, dtype=np.float32)
+        queries = _host_local_rows(queries)
         n_local = queries.shape[0]
         P = jax.process_count()
         if P > 1:
@@ -273,6 +305,7 @@ class DistributedIndex:
         if rank == 0:
             with open(self._meta_path(path), "w") as f:
                 json.dump({"n_total": self.n_total, "dim": self.dim, "total_saved_shards": total_saved_shards}, f)
+        _sync_processes("atlas_tpu:save_index")
 
     def load_index(self, path: str, total_saved_shards: int) -> None:
         """Load shard files, re-sharding across the current world (index.py:89-111)."""

@@ -135,8 +135,12 @@ def main():
 
     import orbax.checkpoint as ocp
 
-    raw = ocp.PyTreeCheckpointer().restore(
-        os.path.abspath(os.path.join(ckdir, "checkpoint", "step-1", "state.orbax")))
+    ck6 = ocp.PyTreeCheckpointer()
+    sp6 = os.path.abspath(os.path.join(ckdir, "checkpoint", "step-1", "state.orbax"))
+    meta6 = dict(ck6.metadata(sp6).item_metadata.items())
+    raw = ck6.restore(  # host-numpy restore args: no "sharding not provided" warning
+        sp6, item={k: 0 for k in meta6}, transforms={},
+        restore_args={k: ocp.RestoreArgs(restore_type=np.ndarray) for k in meta6})
     want = np.asarray(jax.device_get(atlas.reader_params["shared"]))
     got = np.asarray(raw["model.reader.shared"])
     np.testing.assert_array_equal(got, want)
@@ -161,6 +165,129 @@ def main():
     if pid == 0:
         tl, _ = atlas.tokenize_passages(["q"], short)
         assert tl["input_ids"].shape[-1] == 32, tl["input_ids"].shape
+
+    # ---- 8. approx index across 2 processes (faiss role src/index.py:163-381):
+    # train quantizers on SHARDED embeddings, encode sharded codes, sparse AND
+    # masked ivf search agreeing, sq8, save/load roundtrip with per-rank quant
+    # files surviving the cross-process barrier.
+    from atlas_tpu.index.approx import DistributedApproxIndex
+
+    nc_local = 24
+    rngc = np.random.RandomState(7 + pid)
+    centers = np.zeros((8, dim), np.float32)
+    centers[np.arange(8), np.arange(8)] = 4.0  # well-separated -> approx == exact
+    assign8 = (np.arange(nc_local) + pid) % 8
+    emb8 = (centers[assign8] + 0.05 * rngc.randn(nc_local, dim)).astype(np.float32)
+    psg8 = [{"id": f"c{pid}-{i}", "title": "t", "text": f"p{pid}{i}"} for i in range(nc_local)]
+    q8 = emb8[:2] if pid == 0 else emb8[:1]
+
+    def true_cluster(doc_id):  # "c{p}-{i}" -> (i + p) % 8
+        p, i = doc_id[1:].split("-")
+        return (int(i) + int(p)) % 8
+
+    for itype, kwargs in (("ivfpq", dict(code_size=4)), ("sq8", {})):
+        aidx = DistributedApproxIndex(index_type=itype, mesh=mesh, dtype=jnp.float32, **kwargs)
+        aidx.init_embeddings(psg8, dim=dim)
+        rpp8 = aidx.n_pad // 2
+        pad8 = np.zeros((rpp8, dim), np.float32)
+        pad8[:nc_local] = emb8
+        aidx.set_embeddings(aidx._from_process_local(pad8, aidx.n_pad).astype(jnp.float32))
+        if itype == "ivfpq":
+            aidx.nprobe_value = 1  # nprobe*4 <= nlist -> sparse posting-list path
+        aidx.train_index()
+        assert aidx.is_index_trained()
+        d8, s8 = aidx.search_knn(q8, 3)
+        assert len(d8) == len(q8) and all(len(r) == 3 for r in d8), (itype, d8)
+        # well-separated clusters (score ~16 same-cluster vs ~0 cross): every
+        # returned doc must share the query's true cluster, a margin robust to
+        # PQ/sq8 quantization noise (exact self-match is NOT — same-cluster
+        # rows quantize to near-identical codes)
+        for qi, row in enumerate(d8):
+            want_cl = true_cluster(f"c{pid}-{qi}")
+            got_cl = [true_cluster(d["id"]) for d in row]
+            assert got_cl == [want_cl] * 3, (itype, qi, got_cl, want_cl)
+        if itype == "ivfpq":
+            assert aidx._sparse_engaged(), "sparse path did not engage"
+            aidx.ivf_impl = "masked"  # same nprobe through the masked full scan
+            d8m, _ = aidx.search_knn(q8, 3)
+            for qi, row in enumerate(d8m):
+                want_cl = true_cluster(f"c{pid}-{qi}")
+                assert [true_cluster(d["id"]) for d in row] == [want_cl] * 3, (qi, row)
+            aidx.ivf_impl = "auto"
+        tdir = os.path.join(tmp, f"approx_{itype}")
+        aidx.save_index(tdir, total_saved_shards=4)
+        aidx2 = DistributedApproxIndex(index_type=itype, mesh=mesh, dtype=jnp.float32, **kwargs)
+        if itype == "ivfpq":
+            aidx2.nprobe_value = 1
+        aidx2.load_index(tdir, total_saved_shards=4)
+        d8b, _ = aidx2.search_knn(q8, 3)
+        assert [[d["id"] for d in r] for r in d8] == [[d["id"] for d in r] for r in d8b], itype
+
+    # ---- 9. FSDP(+ZeRO) checkpoint across 2 processes: orbax-sharded SAVE then
+    # sharded RESTORE placing every leaf straight onto its mesh placement (no
+    # host materialization — reference resume role model_io.py:170-197 at 11B
+    # scale), optimizer moments included, resume bit-identical.
+    from atlas_tpu.model_io import (
+        flat_to_tree, init_atlas_model, load_or_initialize_atlas_model, save_atlas_model,
+    )
+    from atlas_tpu.parallel.sharding import (
+        atlas_param_specs, fsdp_param_specs, place_like, shard_params, to_shardings,
+    )
+    from atlas_tpu.train.optim import make_optimizers
+    from atlas_tpu.train.step import create_train_state, make_train_step
+
+    cfg9 = AtlasConfig(
+        text_maxlength=32, target_maxlength=16, n_context=2, retriever_n_context=2,
+        precision="fp32", train_retriever=True, total_steps=50, warmup_steps=1,
+        lr=1e-3, lr_retriever=1e-3, tiny_model=True, shard_optim=True,
+        checkpoint_format="orbax", save_optimizer=True,
+        checkpoint_dir=tmp, name="fsdp9",
+    )
+    cfg9.is_main = pid == 0
+    atlas9, _ = init_atlas_model(cfg9)
+    atlas9.set_mesh(mesh)
+    params9 = {"reader": atlas9.reader_params, "retriever": atlas9.retriever_params}
+    specs9 = fsdp_param_specs(params9, atlas_param_specs(params9), 8)
+    sharded9 = shard_params(mesh, params9, specs9)
+    r_opt, t_opt = make_optimizers(cfg9)
+    state9 = create_train_state(sharded9, r_opt, t_opt)
+    step_fn9 = make_train_step(atlas9, cfg9, r_opt, t_opt)
+    queries9 = [f"question: q{pid}{i}? answer: <extra_id_0>" for i in range(4)]
+    targets9 = [f"<extra_id_0> a{pid}{i}" for i in range(4)]
+    atlas9.reader_params, atlas9.retriever_params = sharded9["reader"], sharded9["retriever"]
+    batch9, _ = atlas9.make_batch(index3, query=queries9, target=targets9, training=True)
+    rng9 = jax.random.PRNGKey(0)
+    for _ in range(2):
+        state9, _ = step_fn9(state9, batch9, rng9, True)
+    atlas9.reader_params = state9.params["reader"]
+    atlas9.retriever_params = state9.params["retriever"]
+    save_atlas_model(atlas9, state9.opt_state, step=2, cfg=cfg9,
+                     dir_path=os.path.join(tmp, "fsdp9"), name="step-2")
+
+    atlas9b, opt_raw9, step9 = load_or_initialize_atlas_model(cfg9, mesh=mesh)
+    assert step9 == 2 and opt_raw9 is not None
+    params9b = {"reader": atlas9b.reader_params, "retriever": atlas9b.retriever_params}
+    shardings9 = to_shardings(mesh, specs9)
+    n_dp = 0
+    for (path9, leaf), (_, want_sh) in zip(
+        jax.tree_util.tree_flatten_with_path(params9b)[0],
+        jax.tree_util.tree_flatten_with_path(shardings9)[0],
+    ):
+        assert isinstance(leaf, jax.Array) and leaf.sharding == want_sh, (
+            path9, getattr(leaf, "sharding", type(leaf)), want_sh)
+        n_dp += "dp" in str(want_sh.spec)
+    assert n_dp > 0  # fsdp widening engaged on the big leaves
+    state9b = create_train_state(params9b, r_opt, t_opt)
+    restored9 = jax.tree.map(place_like, flat_to_tree(opt_raw9, state9b.opt_state),
+                             state9b.opt_state)
+    state9b = state9b._replace(opt_state=restored9, step=jnp.int32(2))
+    atlas9b.set_mesh(mesh)
+    step_fn9b = make_train_step(atlas9b, cfg9, r_opt, t_opt)
+    state9, _ = step_fn9(state9, batch9, rng9, True)
+    state9b, _ = step_fn9b(state9b, batch9, rng9, True)
+    fp = jax.jit(lambda t: [(jnp.sum(x), jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(t)])
+    for (a1, a2), (b1, b2) in zip(fp(state9.params), fp(state9b.params)):
+        assert float(a1) == float(b1) and float(a2) == float(b2), "resume diverged"
 
     print(f"WORKER{pid} OK", flush=True)
 
