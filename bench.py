@@ -53,6 +53,18 @@ def _force(x):
     np.asarray(x)
 
 
+def _recall(approx_ids, exact_ids) -> float:
+    """Mean fraction of the exact top-k found by the approx search (recall@k).
+
+    Emitted IN the same JSON line as each retrieval QPS metric so a kernel
+    "optimization" that trades selection quality for speed surfaces in the
+    driver's round-over-round history instead of silently scoring as a win.
+    """
+    a, e = np.asarray(approx_ids), np.asarray(exact_ids)
+    hits = sum(len(set(a[i]) & set(e[i])) for i in range(e.shape[0]))
+    return round(hits / e.size, 4)
+
+
 def _timed(fn, iters, *args):
     outs = [fn(*args) for _ in range(iters)]
     _force(jax.tree.leaves(outs[-1])[0])
@@ -72,8 +84,11 @@ def bench_flat_mips():
     _force(search(q, emb)[0])
     dt = _timed(search, 30, q, emb)
     qps = BATCH / dt
+    exact = jax.jit(lambda q, e: mips_topk(q, e, TOPK, chunk=1_048_576, recall_target=1.0))
+    rec = _recall(search(q, emb)[1], exact(q, emb)[1])
     return {"metric": "flat_mips_qps_per_chip_1Mx768_k100_b64", "value": round(qps, 1),
-            "unit": "queries/s", "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2)}
+            "unit": "queries/s", "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2),
+            "recall": rec}
 
 
 def bench_flat_mips_b256():
@@ -91,9 +106,12 @@ def bench_flat_mips_b256():
     _force(search(q, emb)[0])
     dt = _timed(search, 20, q, emb)
     qps = B / dt
+    exact = jax.jit(lambda q, e: mips_topk(q, e, TOPK, chunk=1_048_576, recall_target=1.0))
+    rec = _recall(search(q, emb)[1], exact(q, emb)[1])
     return {"metric": "flat_mips_qps_per_chip_1Mx768_k100_b256", "value": round(qps, 1),
             "unit": "queries/s",
-            "vs_baseline": round(qps / (FAISS_V100_BASELINE_QPS * 4), 2)}
+            "vs_baseline": round(qps / (FAISS_V100_BASELINE_QPS * 4), 2),
+            "recall": rec}
 
 
 def bench_sq8_mips():
@@ -105,14 +123,21 @@ def bench_sq8_mips():
 
     codes = jax.random.randint(jax.random.PRNGKey(5), (N_PASSAGES, DIM), 0, 256, jnp.uint8)
     blocks = jax.jit(sq8_blocks)(codes)
-    del codes
     q = jax.random.normal(jax.random.PRNGKey(6), (BATCH, DIM), dtype=jnp.bfloat16)
     search = jax.jit(lambda q, c: mips_topk_pallas_sq8(q, c, TOPK, interpret=False))
     _force(search(q, blocks)[0])
     dt = _timed(search, 30, q, blocks)
     qps = BATCH / dt
+    # exact oracle over the SAME quantized corpus (u8 <= 255 is exact in bf16)
+    from atlas_tpu.ops.mips import mips_topk
+
+    exact = jax.jit(lambda q, c: mips_topk(q, c.astype(jnp.bfloat16), TOPK,
+                                           chunk=1_048_576, recall_target=1.0))
+    rec = _recall(search(q, blocks)[1], exact(q, codes)[1])
+    del codes
     return {"metric": "sq8_mips_qps_per_chip_1Mx768_k100_b64", "value": round(qps, 1),
-            "unit": "queries/s", "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2)}
+            "unit": "queries/s", "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2),
+            "recall": rec}
 
 
 def bench_pq_adc():
@@ -131,8 +156,13 @@ def bench_pq_adc():
     _force(f(q, cb, codes)[0])
     dt = _timed(f, 20, q, cb, codes)
     qps = BATCH / dt
+    # exact top-k over the same ADC scores: recall isolates the approx_max_k +
+    # kernel selection quality (the ADC quantization itself is the index mode)
+    exact = jax.jit(lambda q, cb, c: jax.lax.top_k(pq_adc_scores(q, cb, c, interpret=False), TOPK))
+    rec = _recall(f(q, cb, codes)[1], exact(q, cb, codes)[1])
     return {"metric": "pq_adc_qps_per_chip_1Mx768_m64_k100_b64", "value": round(qps, 1),
-            "unit": "queries/s", "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2)}
+            "unit": "queries/s", "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2),
+            "recall": rec}
 
 
 def bench_ivf_sparse():
@@ -160,17 +190,24 @@ def bench_ivf_sparse():
     index.init_embeddings([{"id": str(i)} for i in range(N_PASSAGES)], dim=DIM)
     index.write_embeddings_rows(0, embs)
     q = embs[:B].astype(jnp.float32)
+    # exact top-k over the full corpus (global ids == row ids, single process)
+    from atlas_tpu.ops.mips import mips_topk
+
+    exact_ids = jax.jit(lambda q, e: mips_topk(q, e, TOPK, chunk=1_048_576,
+                                               recall_target=1.0))(q, embs)[1]
+    exact_ids = np.asarray(exact_ids)
     del embs
     index.train_index()
 
     index.ivf_impl = "masked"
     dt_masked = _timed(lambda: index.device_search(q, TOPK), 20)
     index.ivf_impl = "sparse"
-    index.device_search(q, TOPK)  # builds layout + compiles
+    rec = _recall(index.device_search(q, TOPK)[1], exact_ids)  # builds layout + compiles
     dt = _timed(lambda: index.device_search(q, TOPK), 20)
     qps = B / dt
     return {"metric": "ivf_sparse_qps_1Mx768_nlist1000_nprobe16_b8", "value": round(qps, 1),
-            "unit": "queries/s", "vs_baseline": round(dt_masked / dt, 2)}
+            "unit": "queries/s", "vs_baseline": round(dt_masked / dt, 2),
+            "recall": rec}
 
 
 def _fid_step_ms(attn_impl):
@@ -299,8 +336,14 @@ def bench_decode():
     _force(f(params, ids, mask))
     dt = _timed(f, 10, params, ids, mask)
     sps = B / dt
-    return {"metric": "decode_greedy_seq_per_s_t5base_b8_n20_l256_gen32", "value": round(sps, 1),
-            "unit": "seq/s", "vs_baseline": round(sps / 37.0, 2)}
+    # metric name carries the cache dtype (ADVICE r02): r01's 37.0 seq/s was the
+    # bf16-cache XLA-scan point; this series (int8 cache + fused kernel) anchors
+    # on that same r01 constant so vs_baseline stays a cross-round speedup, but
+    # the name change marks the operating-point switch in the driver history.
+    return {"metric": "decode_greedy_seq_per_s_t5base_b8_n20_l256_gen32_int8cache",
+            "value": round(sps, 1),
+            "unit": "seq/s", "vs_baseline": round(sps / 37.0, 2),
+            "baseline": "r01 bf16-cache XLA scan, 37.0 seq/s (BENCH_r01 operating point)"}
 
 
 def bench_refresh():
@@ -323,7 +366,8 @@ def bench_refresh():
     pps = B / dt
     return {"metric": "refresh_passages_per_s_per_chip_contriever_l192_b512",
             "value": round(pps, 1), "unit": "passages/s",
-            "vs_baseline": round(pps / 1719.0, 2)}
+            "vs_baseline": round(pps / 1719.0, 2),
+            "baseline": "driver north star: 33M passages / 10 min / 32 chips = 1719/s/chip"}
 
 
 BENCHES = [bench_pq_adc, bench_sq8_mips, bench_ivf_sparse, bench_fid_train,
