@@ -61,7 +61,7 @@ class DistributedApproxIndex(DistributedIndex):
         self._search_fn = None
         self._ivf_layout: Optional[Dict[str, Any]] = None  # cluster-sorted blocks
         self._sparse_fn = None  # cached jitted sparse searches, keyed by topk
-        self._sq8_layout: Optional[jax.Array] = None  # (NB, D, SUB) u8 blocks
+        self._sq8_layout: Optional[jax.Array] = None  # (NB, D, SUB) s8 blocks
         self._sq8_fn = None  # cached jitted sq8 pallas searches, keyed by topk
         self.quant: Dict[str, Any] = {}  # replicated quantizer state
         self.codes: Optional[jax.Array] = None  # sharded (N_pad, M) uint8

@@ -4,11 +4,11 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from atlas_tpu.ops.pallas_mips import LANES, mips_topk_pallas
+from atlas_tpu.ops.pallas_mips import LANES, MAJOR, mips_topk_pallas
 
 
 def _window_oracle(q, e, k, n_valid=None):
-    """One candidate per 128-row window (the kernel's selection rule)."""
+    """One candidate per CONTIGUOUS 128-row window (the bf16 kernel's rule)."""
     s = q @ e.T
     if n_valid is not None:
         s[:, n_valid:] = -np.inf
@@ -16,6 +16,23 @@ def _window_oracle(q, e, k, n_valid=None):
     win = s.reshape(B, N // LANES, LANES)
     vals = win.max(-1)
     idx = win.argmax(-1) + np.arange(N // LANES)[None, :] * LANES
+    order = np.argsort(-vals, axis=1)[:, :k]
+    return np.take_along_axis(vals, order, 1), np.take_along_axis(idx, order, 1)
+
+
+def _strided_window_oracle(q, e, k, n_valid=None):
+    """The sq8 kernel's rule: within each MAJOR-row block, winner w is the best
+    row of {r : r % LANES == w} (strided windows — lane-aligned vreg reduce)."""
+    s = q @ e.T
+    if n_valid is not None:
+        s[:, n_valid:] = -np.inf
+    B, N = s.shape
+    nblk = N // MAJOR
+    win = s.reshape(B, nblk, MAJOR // LANES, LANES)
+    vals = win.max(2).reshape(B, -1)  # (B, nblk*LANES)
+    arg = win.argmax(2)  # (B, nblk, LANES): the winning c
+    idx = (np.arange(nblk)[None, :, None] * MAJOR + arg * LANES
+           + np.arange(LANES)[None, None, :]).reshape(B, -1)
     order = np.argsort(-vals, axis=1)[:, :k]
     return np.take_along_axis(vals, order, 1), np.take_along_axis(idx, order, 1)
 
@@ -87,26 +104,37 @@ def test_pallas_sq8_blocked_matches_oracle():
     q = rng.randn(B, D).astype(np.float32)
     blocks = sq8_blocks(jnp.asarray(codes))
     vals, idx = mips_topk_pallas_sq8(jnp.asarray(q), blocks, K)
-    ov, oi = _window_oracle(q, codes.astype(np.float64), K)
+    ov, oi = _strided_window_oracle(q, codes.astype(np.float64), K)
     np.testing.assert_allclose(np.asarray(vals), ov, rtol=1e-4)
     assert np.array_equal(np.asarray(idx), oi)
 
 
 def test_pallas_sq8_blocked_masks_padding():
+    """In-kernel n_valid masking: rows >= n_valid carry maximal codes (255) so
+    any masking slip would surface them at the top; and a tiny n_valid < k
+    leaves NEG tail entries the merge contract discards by score, not by id."""
     from atlas_tpu.ops.pallas_mips import mips_topk_pallas_sq8, sq8_blocks
 
     rng = np.random.RandomState(4)
     N, D = 16384, 64
-    codes = rng.randint(0, 256, (N, D)).astype(np.uint8)
-    q = np.ones((2, D), dtype=np.float32)
+    codes = rng.randint(0, 64, (N, D)).astype(np.uint8)
+    codes[300:] = 255  # high scores in the padding region
+    q = np.abs(rng.randn(2, D)).astype(np.float32)
     n_valid = 300
-    vals, idx = mips_topk_pallas_sq8(jnp.asarray(q), sq8_blocks(jnp.asarray(codes)),
-                                     5, n_valid=jnp.int32(n_valid))
+    blocks = sq8_blocks(jnp.asarray(codes))
+    vals, idx = mips_topk_pallas_sq8(jnp.asarray(q), blocks, 5,
+                                     n_valid=jnp.int32(n_valid))
     vals, idx = np.asarray(vals), np.asarray(idx)
-    # only ~3 of 128 windows hold valid rows, so k=5 keeps NEG-masked tail
-    # entries — the merge contract discards them by score, not by id
-    assert (vals[idx >= n_valid] < -1e20).all()
-    assert (idx[vals > -1e20] < n_valid).all() and (vals > -1e20).sum() >= 2
+    assert (idx[vals > -1e20] < n_valid).all()
+    ov, oi = _strided_window_oracle(q, codes.astype(np.float64), 5, n_valid=n_valid)
+    live = ov > -1e20
+    np.testing.assert_allclose(vals[live], ov[live], rtol=1e-4)
+    assert np.array_equal(idx[live], oi[live])
+    # n_valid < k: only 3 windows can hold a candidate, the rest return NEG
+    vals3, idx3 = mips_topk_pallas_sq8(jnp.asarray(q), blocks, 5,
+                                       n_valid=jnp.int32(3))
+    vals3, idx3 = np.asarray(vals3), np.asarray(idx3)
+    assert (idx3[vals3 > -1e20] < 3).all() and (vals3 > -1e20).sum() == 2 * 3
 
 
 def test_pallas_sq8_large_batch_splits():
