@@ -176,8 +176,8 @@ def mips_topk_pallas(
 # its refresh-writable row-major layout and this trick stays sq8-only.)
 
 
-def sq8_blocks(codes: jnp.ndarray) -> jnp.ndarray:
-    """(rows, D) uint8 -> (NB, D, SUB_TILE) transposed PRE-BIASED int8 blocks
+def sq8_blocks(codes: jnp.ndarray, sub_tile: int = SUB_TILE) -> jnp.ndarray:
+    """(rows, D) uint8 -> (NB, D, sub_tile) transposed PRE-BIASED int8 blocks
     (xor 0x80 = subtract 128 moves the u8->s8 re-bias from the kernel's per-scan
     VPU pass to this one-time build), rows padded to a multiple of MAJOR. Padded
     rows are masked exactly inside the kernel via the n_valid scalar."""
@@ -185,77 +185,89 @@ def sq8_blocks(codes: jnp.ndarray) -> jnp.ndarray:
     pad = (-rows) % MAJOR
     if pad:
         codes = jnp.pad(codes, ((0, pad), (0, 0)))
-    nb = codes.shape[0] // SUB_TILE
+    nb = codes.shape[0] // sub_tile
     codes = (codes ^ 0x80).view(jnp.int8)
-    return codes.reshape(nb, SUB_TILE, D).transpose(0, 2, 1)
+    return codes.reshape(nb, sub_tile, D).transpose(0, 2, 1)
 
 
-def _mips_sq8_kernel(nv_ref, q_ref, e_hbm, vals_ref, idx_ref, buf, sems):
+def _make_sq8_kernel(sub_tile: int, n_sub: int, slots: int):
     """Strided-window selection: winner w of grid step i is the best row in
     {rows of block i with row % LANES == w}. vs the contiguous-window variant
     (reshape + cross-lane max/argmax, measured 2.52ms at 1M x 768 B=64) every
     reduction here is a lane-aligned vreg slice + elementwise cmp/select — no
     lane shuffles, no argmax op — and padded rows are masked exactly in the
     accumulate (the strided partition would otherwise let a padded row evict a
-    valid candidate). Same winners-per-rows rate => same recall operating point."""
-    i = pl.program_id(0)
-    B = q_ref.shape[0]
-    q = q_ref[:]
-    n_valid = nv_ref[0]
+    valid candidate). Same winners-per-rows rate => same recall operating point.
 
-    def dma(slot, sub):
-        return pltpu.make_async_copy(
-            e_hbm.at[i * N_SUB + sub], buf.at[slot], sems.at[slot]
-        )
+    Geometry (sub_tile, n_sub, slots) is a chip-sweepable knob: sub_tile * n_sub
+    must equal MAJOR (=LANES^2) so each grid step emits one (B, LANES) winner
+    block; bigger sub_tiles mean fewer DMA waits (~0.6us each on v5e) and wider
+    MXU matmuls, at slots * sub_tile * D bytes of VMEM."""
+    assert sub_tile * n_sub == MAJOR, (sub_tile, n_sub)
 
-    for s0 in range(min(SLOTS - 1, N_SUB)):
-        dma(s0 % SLOTS, s0).start()
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
-    acc_v = jnp.full((B, LANES), NEG, jnp.float32)
-    acc_i = jnp.zeros((B, LANES), jnp.int32)
-    for sub in range(N_SUB):
-        slot = sub % SLOTS
-        nxt = sub + SLOTS - 1
-        if nxt < N_SUB:
-            dma(nxt % SLOTS, nxt).start()
-        dma(slot, sub).wait()
-        # blocks are pre-biased int8 (sq8_blocks), already the (K, N) operand
-        s = jax.lax.dot_general(
-            q, buf[slot],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (B, SUB_TILE)
-        rowbase = (i * N_SUB + sub) * SUB_TILE + lane  # (B, LANES)
-        for c in range(SUB_TILE // LANES):
-            cand = s[:, c * LANES : (c + 1) * LANES]  # vreg column c: free slice
-            row = rowbase + c * LANES
-            better = (cand > acc_v) & (row < n_valid)
-            acc_v = jnp.where(better, cand, acc_v)
-            acc_i = jnp.where(better, row, acc_i)
+    def kernel(nv_ref, q_ref, e_hbm, vals_ref, idx_ref, buf, sems):
+        i = pl.program_id(0)
+        B = q_ref.shape[0]
+        q = q_ref[:]
+        n_valid = nv_ref[0]
 
-    vals_ref[:] = acc_v
-    idx_ref[:] = acc_i
+        def dma(slot, sub):
+            return pltpu.make_async_copy(
+                e_hbm.at[i * n_sub + sub], buf.at[slot], sems.at[slot]
+            )
+
+        for s0 in range(min(slots - 1, n_sub)):
+            dma(s0 % slots, s0).start()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
+        acc_v = jnp.full((B, LANES), NEG, jnp.float32)
+        acc_i = jnp.zeros((B, LANES), jnp.int32)
+        for sub in range(n_sub):
+            slot = sub % slots
+            nxt = sub + slots - 1
+            if nxt < n_sub:
+                dma(nxt % slots, nxt).start()
+            dma(slot, sub).wait()
+            # blocks are pre-biased int8 (sq8_blocks), already the (K, N) operand
+            s = jax.lax.dot_general(
+                q, buf[slot],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (B, sub_tile)
+            rowbase = (i * n_sub + sub) * sub_tile + lane  # (B, LANES)
+            for c in range(sub_tile // LANES):
+                cand = s[:, c * LANES : (c + 1) * LANES]  # vreg col c: free slice
+                row = rowbase + c * LANES
+                better = (cand > acc_v) & (row < n_valid)
+                acc_v = jnp.where(better, cand, acc_v)
+                acc_i = jnp.where(better, row, acc_i)
+
+        vals_ref[:] = acc_v
+        idx_ref[:] = acc_i
+
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "slots"))
 def mips_topk_pallas_sq8(
     queries: jnp.ndarray,  # (B, D) compute dtype (pre-scaled by the SQ caller)
-    blocks: jnp.ndarray,  # (NB, D, SUB_TILE) pre-biased int8 from sq8_blocks
+    blocks: jnp.ndarray,  # (NB, D, sub_tile) pre-biased int8 from sq8_blocks
     k: int,
     n_valid: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
+    slots: int = SLOTS,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (scores (B,k) fp32 vs the uint8 values, row indices (B,k) int32)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if queries.shape[0] > B_MAX:
         return _split_batch(
-            lambda q: mips_topk_pallas_sq8(q, blocks, k, n_valid, interpret),
+            lambda q: mips_topk_pallas_sq8(q, blocks, k, n_valid, interpret, slots),
             queries, k)
-    NB, D, sub = blocks.shape
-    assert sub == SUB_TILE and NB % N_SUB == 0, (blocks.shape,)
+    NB, D, sub_tile = blocks.shape
+    n_sub = MAJOR // sub_tile
+    assert MAJOR % sub_tile == 0 and NB % n_sub == 0, (blocks.shape,)
     B = queries.shape[0]
-    N = NB * SUB_TILE
+    N = NB * sub_tile
     if n_valid is None:
         n_valid = jnp.int32(N)
     n_win = N // LANES
@@ -263,8 +275,8 @@ def mips_topk_pallas_sq8(
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
 
     vals, idx = pl.pallas_call(
-        _mips_sq8_kernel,
-        grid=(NB // N_SUB,),
+        _make_sq8_kernel(sub_tile, n_sub, slots),
+        grid=(NB // n_sub,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid scalar
             pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -279,8 +291,8 @@ def mips_topk_pallas_sq8(
             jax.ShapeDtypeStruct((B, n_win), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((SLOTS, D, SUB_TILE), jnp.int8),
-            pltpu.SemaphoreType.DMA((SLOTS,)),
+            pltpu.VMEM((slots, D, sub_tile), jnp.int8),
+            pltpu.SemaphoreType.DMA((slots,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -27,6 +27,8 @@ its own stated anchor:
 - decode_seq_per_s: greedy generation, t5-base FiD reader, B=8, N=20, L=256,
   32 new tokens. Anchor: round-1 measurement (37 seq/s) for round-over-round
   tracking.
+- decode_seq_per_s (t5large): the same serving point on the 0.77B reader —
+  big-reader decode canary. Anchor: the r02 chip A/B (461.9 ms/gen).
 - refresh_passages_per_s: contriever-base passage embedding at the refresh
   operating point (L=192 bucketed, batch 512). Anchor: the driver north star of a
   33M-passage refresh in <10 min on 32 chips = 1719 passages/s/chip.
@@ -346,6 +348,37 @@ def bench_decode():
             "baseline": "r01 bf16-cache XLA scan, 37.0 seq/s (BENCH_r01 operating point)"}
 
 
+def bench_decode_large():
+    """Big-reader canary (VERDICT r02 item 4): t5-large (0.77B) greedy decode at
+    the same serving point as bench_decode, so decode regressions above t5-base
+    surface in the driver's round-over-round history. Anchor: the r02 chip A/B
+    of this exact config (fused int8 cache, 461.9 ms/gen = 17.3 seq/s)."""
+    import dataclasses
+
+    from atlas_tpu.eval.generate import greedy_generate
+    from atlas_tpu.models.t5 import init_t5, t5_config_for
+
+    B, N, L, GEN = 8, 20, 256, 32
+    cfg = t5_config_for("t5-large", dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(cfg, dropout_rate=0.0, decode_cache_dtype="int8")
+    params = jax.jit(lambda k: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), init_t5(k, cfg)))(jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, N, L), 0, 32000)
+    mask = jnp.ones((B, N, L), jnp.int32)
+
+    def gen(params, ids, mask):
+        return greedy_generate(params, cfg, ids, mask, max_length=GEN)
+
+    f = jax.jit(gen)
+    _force(f(params, ids, mask))
+    dt = _timed(f, 10, params, ids, mask)
+    sps = B / dt
+    return {"metric": "decode_greedy_seq_per_s_t5large_b8_n20_l256_gen32_int8cache",
+            "value": round(sps, 1),
+            "unit": "seq/s", "vs_baseline": round(sps / (8 / 0.4619), 2),
+            "baseline": "r02 chip A/B of this config: fused int8 461.9 ms/gen = 17.3 seq/s"}
+
+
 def bench_refresh():
     from atlas_tpu.models.bert import bert_config_for, bert_encode, init_bert
 
@@ -371,8 +404,8 @@ def bench_refresh():
 
 
 BENCHES = [bench_pq_adc, bench_sq8_mips, bench_ivf_sparse, bench_fid_train,
-           bench_joint_train, bench_decode, bench_refresh, bench_flat_mips_b256,
-           bench_flat_mips]  # headline flat-MIPS LAST
+           bench_joint_train, bench_decode, bench_decode_large, bench_refresh,
+           bench_flat_mips_b256, bench_flat_mips]  # headline flat-MIPS LAST
 
 
 def _run_one(name: str) -> None:
