@@ -160,10 +160,17 @@ def beam_generate(
             allowed = (jnp.arange(V)[None, None, :] == forced_tok[:, None, None])
             logp = jnp.where(in_prefix & ~allowed, NEG, logp)
         cand = alive_logp[:, :, None] + logp  # (B, K, V)
-        flat = cand.reshape(B, K * V)
-        top_vals, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
-        beam_idx = top_idx // V
-        tok_idx = (top_idx % V).astype(jnp.int32)
+        # two-stage exact top-2K: any global top-2K candidate from beam k is in
+        # beam k's own top-2K, so a per-beam top-2K (narrow V-axis sorts) + a
+        # (B, 2K*K) merge selects the same set as top_k over the flat (B, K*V)
+        # axis — measurably cheaper than the 128K-wide partial sort per step.
+        # Merge keys are (value, beam-major position), matching flat-index tie
+        # order for distinct values.
+        vals_b, toks_b = jax.lax.top_k(cand, 2 * K)  # (B, K, 2K)
+        top_vals, merge_idx = jax.lax.top_k(vals_b.reshape(B, K * 2 * K), 2 * K)
+        beam_idx = merge_idx // (2 * K)
+        tok_idx = jnp.take_along_axis(
+            toks_b.reshape(B, K * 2 * K), merge_idx, axis=1).astype(jnp.int32)
         seqs = gather_beams(alive_seq, beam_idx)  # (B, 2K, maxlen)
         seqs = seqs.at[:, :, t + 1].set(tok_idx)
         # masked-out candidates (min_length / forced prefix) carry ~NEG scores and

@@ -41,6 +41,10 @@ class BertConfig:
     # in-kernel PRNG dropout), XLA stays for short deterministic forwards
     # (the refresh embed path — measured ~6% faster at L<=256 on v5e).
     attn_impl: str = "auto"
+    # "auto" | "fused" | "xla" — fused FFN (ops/ffn_fused.py) keeps the (T, F)
+    # intermediate in VMEM; forward-only, so auto engages on deterministic TPU
+    # forwards (the refresh embed path) where the weights fit VMEM.
+    ffn_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -142,8 +146,11 @@ def bert_encode(
     x = _dropout(x, cfg.hidden_dropout_prob, deterministic, r0)
 
     from atlas_tpu.ops.flash import flash_wins
+    from atlas_tpu.ops.ffn_fused import ffn_fused, ffn_wins
 
     use_flash = flash_wins(cfg.attn_impl, L, L, deterministic=deterministic)
+    use_ffn = ffn_wins(cfg.ffn_impl, deterministic,
+                       cfg.hidden_size, cfg.intermediate_size)
     bias = None if use_flash else make_attention_bias(attention_mask)
     scale = cfg.head_dim**-0.5
 
@@ -170,8 +177,12 @@ def bert_encode(
         out = _dense(out, a["o"])
         x = layer_norm(x + _dropout(out, cfg.hidden_dropout_prob, deterministic, r2), a["ln"], cfg.layer_norm_eps)
         f = lp["ffn"]
-        h = jax.nn.gelu(_dense(x, f["wi"]), approximate=False)
-        h = _dense(h, f["wo"])
+        if use_ffn:
+            h = ffn_fused(x.reshape(B * L, -1), f["wi"]["w"], f["wi"]["b"],
+                          f["wo"]["w"], f["wo"]["b"]).reshape(B, L, -1)
+        else:
+            h = jax.nn.gelu(_dense(x, f["wi"]), approximate=False)
+            h = _dense(h, f["wo"])
         x = layer_norm(x + _dropout(h, cfg.hidden_dropout_prob, deterministic, r3), f["ln"], cfg.layer_norm_eps)
         return (x, rng), None
 

@@ -190,7 +190,48 @@ def sq8_blocks(codes: jnp.ndarray, sub_tile: int = SUB_TILE) -> jnp.ndarray:
     return codes.reshape(nb, sub_tile, D).transpose(0, 2, 1)
 
 
-def _make_sq8_kernel(sub_tile: int, n_sub: int, slots: int):
+def sq8_blocks_packed(codes: jnp.ndarray, sub_tile: int = 4096) -> jnp.ndarray:
+    """(rows, D) uint8 -> (NB, D//4, sub_tile) int32 WORD-PACKED transposed
+    pre-biased blocks: word [b, i, s] holds contraction rows 4i..4i+3 of block b
+    in little-endian byte order, so the kernel's pltpu.bitcast(., int8) yields
+    exactly the (D, sub_tile) MXU operand (out[4i+j] = byte j of word[i] — the
+    bitcast_p contract). Why: a chip sweep (tools/bench_sq8_sweep.py) showed the
+    int8-destination DMA stream rate-limited at ~404 GB/s vs 519 GB/s for
+    word-sized elements — int8 VMEM tiles are (32, 128) and byte-granularity
+    DMA writes pay the sublane-interleave, so the stream moves int32 words at
+    native (8, 128) tiling and the byte unpack happens in-register."""
+    rows, D = codes.shape
+    assert D % 4 == 0, D
+    pad = (-rows) % MAJOR
+    if pad:
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+    nb = codes.shape[0] // sub_tile
+    blk = (codes ^ 0x80).reshape(nb, sub_tile, D).transpose(0, 2, 1)  # (nb, D, S) u8
+    w = blk.reshape(nb, D // 4, 4, sub_tile).astype(jnp.uint32)
+    packed = (w[:, :, 0] | (w[:, :, 1] << 8) | (w[:, :, 2] << 16)
+              | (w[:, :, 3] << 24))
+    return jax.lax.bitcast_convert_type(packed, jnp.int32)
+
+
+VMEM_BUDGET = 14 * 1024 * 1024  # leave ~2MB of the 16MB scoped-vmem for q/regs
+
+
+def _auto_slots(n_sub: int, sub_tile: int, d: int, b: int, n_win: int) -> int:
+    """Deepest divisor-of-n_sub pipeline UP TO 4 whose corpus buffers fit VMEM
+    next to the staged (B, n_win) f32+i32 winner outputs (Mosaic holds them
+    whole — the measured B=256 23.7MB overflow in the B_MAX note). The chip
+    sweep (tools/bench_sq8_sweep.py) measured depth 8 strictly WORSE than 4
+    (1024-row tiles: 3.65ms vs 2.45ms — deeper queues stall the issue path),
+    so 4 is a measured cap, not a budget artifact."""
+    free = VMEM_BUDGET - 8 * b * n_win
+    best = 1
+    for s in range(2, min(n_sub, 4) + 1):
+        if n_sub % s == 0 and s * sub_tile * d <= free:
+            best = s
+    return best
+
+
+def _make_sq8_kernel(sub_tile: int, n_sub: int, slots: int, packed: bool = False):
     """Strided-window selection: winner w of grid step i is the best row in
     {rows of block i with row % LANES == w}. vs the contiguous-window variant
     (reshape + cross-lane max/argmax, measured 2.52ms at 1M x 768 B=64) every
@@ -199,41 +240,61 @@ def _make_sq8_kernel(sub_tile: int, n_sub: int, slots: int):
     accumulate (the strided partition would otherwise let a padded row evict a
     valid candidate). Same winners-per-rows rate => same recall operating point.
 
+    The DMA pipeline runs ACROSS grid steps: a chip ablation (tools/
+    bench_sq8_ablate.py) showed the kernel sitting exactly on a 1.97ms DMA wall
+    = ~1.1us of serialized per-DMA overhead on top of the ~0.94ms HBM line rate
+    (768MB @ 819GB/s), with matmul+select fully hidden. Fewer/bigger DMAs and
+    no per-grid-step pipeline drain are therefore the whole game: scratch
+    buffers persist across grid steps, so step i's tail issues the copies step
+    i+1 consumes, and only step 0 pays a pipeline fill. n_sub % slots == 0
+    keeps every slot index compile-time static under the global block counter.
+
     Geometry (sub_tile, n_sub, slots) is a chip-sweepable knob: sub_tile * n_sub
     must equal MAJOR (=LANES^2) so each grid step emits one (B, LANES) winner
-    block; bigger sub_tiles mean fewer DMA waits (~0.6us each on v5e) and wider
-    MXU matmuls, at slots * sub_tile * D bytes of VMEM."""
+    block; VMEM cost is slots * sub_tile * D bytes + the staged (B, N/LANES)
+    winner outputs."""
     assert sub_tile * n_sub == MAJOR, (sub_tile, n_sub)
+    assert n_sub % slots == 0, (n_sub, slots)
 
     def kernel(nv_ref, q_ref, e_hbm, vals_ref, idx_ref, buf, sems):
         i = pl.program_id(0)
+        nb_total = pl.num_programs(0) * n_sub
         B = q_ref.shape[0]
         q = q_ref[:]
         n_valid = nv_ref[0]
 
-        def dma(slot, sub):
-            return pltpu.make_async_copy(
-                e_hbm.at[i * n_sub + sub], buf.at[slot], sems.at[slot]
-            )
+        def dma(slot, g):  # g: global block index (traced)
+            return pltpu.make_async_copy(e_hbm.at[g], buf.at[slot], sems.at[slot])
 
-        for s0 in range(min(slots - 1, n_sub)):
-            dma(s0 % slots, s0).start()
+        @pl.when(i == 0)
+        def _fill():  # only grid step 0 pays the pipeline fill
+            for s0 in range(min(slots - 1, n_sub)):
+                dma(s0, s0).start()
+
         lane = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
         acc_v = jnp.full((B, LANES), NEG, jnp.float32)
         acc_i = jnp.zeros((B, LANES), jnp.int32)
         for sub in range(n_sub):
             slot = sub % slots
-            nxt = sub + slots - 1
-            if nxt < n_sub:
-                dma(nxt % slots, nxt).start()
-            dma(slot, sub).wait()
-            # blocks are pre-biased int8 (sq8_blocks), already the (K, N) operand
+            g = i * n_sub + sub
+            nxt_g = g + slots - 1  # lands in the NEXT grid step near the tail
+
+            @pl.when(nxt_g < nb_total)
+            def _start():
+                dma((sub + slots - 1) % slots, nxt_g).start()
+
+            dma(slot, g).wait()
+            # blocks are pre-biased int8 (sq8_blocks), already the (K, N)
+            # operand; word-packed blocks (sq8_blocks_packed) unpack in-register
+            e = buf[slot]
+            if packed:
+                e = pltpu.bitcast(e, jnp.int8)
             s = jax.lax.dot_general(
-                q, buf[slot],
+                q, e,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (B, sub_tile)
-            rowbase = (i * n_sub + sub) * sub_tile + lane  # (B, LANES)
+            rowbase = g * sub_tile + lane  # (B, LANES)
             for c in range(sub_tile // LANES):
                 cand = s[:, c * LANES : (c + 1) * LANES]  # vreg col c: free slice
                 row = rowbase + c * LANES
@@ -254,16 +315,23 @@ def mips_topk_pallas_sq8(
     k: int,
     n_valid: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
-    slots: int = SLOTS,
+    slots: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """-> (scores (B,k) fp32 vs the uint8 values, row indices (B,k) int32)."""
+    """-> (scores (B,k) fp32 vs the uint8 values, row indices (B,k) int32).
+
+    slots=0 picks the deepest pipeline that divides n_sub and fits the VMEM
+    budget alongside the staged winner outputs (n_sub % slots == 0 is a kernel
+    invariant: it keeps slot indices static under cross-step pipelining)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if queries.shape[0] > B_MAX:
         return _split_batch(
             lambda q: mips_topk_pallas_sq8(q, blocks, k, n_valid, interpret, slots),
             queries, k)
+    packed = blocks.dtype == jnp.int32
     NB, D, sub_tile = blocks.shape
+    if packed:
+        D = D * 4  # (NB, D//4, sub_tile) int32 words, 4 contraction rows each
     n_sub = MAJOR // sub_tile
     assert MAJOR % sub_tile == 0 and NB % n_sub == 0, (blocks.shape,)
     B = queries.shape[0]
@@ -273,9 +341,11 @@ def mips_topk_pallas_sq8(
     n_win = N // LANES
     q = queries
     nv = jnp.asarray(n_valid, jnp.int32).reshape(1)
+    if slots <= 0:
+        slots = _auto_slots(n_sub, sub_tile, D, B, n_win)
 
     vals, idx = pl.pallas_call(
-        _make_sq8_kernel(sub_tile, n_sub, slots),
+        _make_sq8_kernel(sub_tile, n_sub, slots, packed=packed),
         grid=(NB // n_sub,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid scalar
@@ -291,7 +361,8 @@ def mips_topk_pallas_sq8(
             jax.ShapeDtypeStruct((B, n_win), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((slots, D, sub_tile), jnp.int8),
+            pltpu.VMEM((slots, D // 4, sub_tile), jnp.int32) if packed
+            else pltpu.VMEM((slots, D, sub_tile), jnp.int8),
             pltpu.SemaphoreType.DMA((slots,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -301,8 +372,27 @@ def mips_topk_pallas_sq8(
     )(nv, q, blocks)
 
     k = min(k, n_win)
-    top_vals, pos = jax.lax.top_k(vals, k)
+    top_vals, pos = _winner_topk(vals, k)
     top_idx = jnp.take_along_axis(idx, pos, axis=1)
     # restore the re-bias: q . c_u8 = q . (c_u8 - 128) + 128 * sum(q)
     top_vals = top_vals + 128.0 * jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
     return top_vals, top_idx
+
+
+def _winner_topk(vals: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-at-this-operating-point top-k over the (B, n_win) winner scores.
+
+    lax.top_k's fp32 partial sort costs ~0.5ms of the 2.5ms B=64/1M search
+    (tools/bench_sq8_ablate.py); a bf16 coarse top-m (half the sort bytes) then
+    an fp32 refine among the m survivors measured 0.2ms faster at identical
+    recall@100. Only boundary candidates whose bf16 roundings tie across >m-k
+    better-indexed rows can differ from exact — beyond the precision the
+    window-selection stage already trades away."""
+    n = vals.shape[1]
+    m = max(128, 2 * k)
+    if k > 112 or m >= n:  # refine slack too thin / nothing to winnow
+        return jax.lax.top_k(vals, k)
+    _, coarse = jax.lax.top_k(vals.astype(jnp.bfloat16), m)
+    vf = jnp.take_along_axis(vals, coarse, axis=1)
+    top_vals, p2 = jax.lax.top_k(vf, k)
+    return top_vals, jnp.take_along_axis(coarse, p2, axis=1)
