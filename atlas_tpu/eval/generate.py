@@ -20,6 +20,11 @@ from atlas_tpu.models.t5 import T5Config, init_decode_cache, t5_decode_step
 
 NEG = -1.0e7
 
+# Ablation surface (tools/bench_beam_topk.py): trace-time switch back to the
+# single flat (B, K*V) top-2K the beam step used before the two-stage split.
+# Not a runtime knob — flip + _clear_cache() to re-trace.
+_FLAT_TOPK = False
+
 
 @partial(jax.jit, static_argnames=("cfg", "max_length", "min_length", "has_prefix"))
 def greedy_generate(
@@ -160,17 +165,23 @@ def beam_generate(
             allowed = (jnp.arange(V)[None, None, :] == forced_tok[:, None, None])
             logp = jnp.where(in_prefix & ~allowed, NEG, logp)
         cand = alive_logp[:, :, None] + logp  # (B, K, V)
-        # two-stage exact top-2K: any global top-2K candidate from beam k is in
-        # beam k's own top-2K, so a per-beam top-2K (narrow V-axis sorts) + a
-        # (B, 2K*K) merge selects the same set as top_k over the flat (B, K*V)
-        # axis — measurably cheaper than the 128K-wide partial sort per step.
-        # Merge keys are (value, beam-major position), matching flat-index tie
-        # order for distinct values.
-        vals_b, toks_b = jax.lax.top_k(cand, 2 * K)  # (B, K, 2K)
-        top_vals, merge_idx = jax.lax.top_k(vals_b.reshape(B, K * 2 * K), 2 * K)
-        beam_idx = merge_idx // (2 * K)
-        tok_idx = jnp.take_along_axis(
-            toks_b.reshape(B, K * 2 * K), merge_idx, axis=1).astype(jnp.int32)
+        if _FLAT_TOPK:
+            flat = cand.reshape(B, K * V)
+            top_vals, top_idx = jax.lax.top_k(flat, 2 * K)  # (B, 2K)
+            beam_idx = top_idx // V
+            tok_idx = (top_idx % V).astype(jnp.int32)
+        else:
+            # two-stage exact top-2K: any global top-2K candidate from beam k is
+            # in beam k's own top-2K, so a per-beam top-2K (narrow V-axis sorts)
+            # + a (B, 2K*K) merge selects the same set as top_k over the flat
+            # (B, K*V) axis — no 128K-wide partial sort per step. Merge keys are
+            # (value, beam-major position), matching flat-index tie order for
+            # distinct values.
+            vals_b, toks_b = jax.lax.top_k(cand, 2 * K)  # (B, K, 2K)
+            top_vals, merge_idx = jax.lax.top_k(vals_b.reshape(B, K * 2 * K), 2 * K)
+            beam_idx = merge_idx // (2 * K)
+            tok_idx = jnp.take_along_axis(
+                toks_b.reshape(B, K * 2 * K), merge_idx, axis=1).astype(jnp.int32)
         seqs = gather_beams(alive_seq, beam_idx)  # (B, 2K, maxlen)
         seqs = seqs.at[:, :, t + 1].set(tok_idx)
         # masked-out candidates (min_length / forced prefix) carry ~NEG scores and

@@ -145,13 +145,18 @@ def bert_encode(
     rng, r0 = jax.random.split(rng)
     x = _dropout(x, cfg.hidden_dropout_prob, deterministic, r0)
 
-    from atlas_tpu.ops.flash import flash_wins
+    from atlas_tpu.ops.block_attn import block_attention, block_attn_wins
     from atlas_tpu.ops.ffn_fused import ffn_fused, ffn_wins
+    from atlas_tpu.ops.flash import flash_wins
 
     use_flash = flash_wins(cfg.attn_impl, L, L, deterministic=deterministic)
+    # short deterministic forwards (the refresh embed path): whole-length
+    # single-block attention, scores VMEM-only (ops/block_attn.py)
+    use_block = (not use_flash) and block_attn_wins(
+        cfg.attn_impl, L, L, cfg.num_attention_heads, deterministic)
     use_ffn = ffn_wins(cfg.ffn_impl, deterministic,
                        cfg.hidden_size, cfg.intermediate_size)
-    bias = None if use_flash else make_attention_bias(attention_mask)
+    bias = None if (use_flash or use_block) else make_attention_bias(attention_mask)
     scale = cfg.head_dim**-0.5
 
     def layer(carry, lp):
@@ -167,6 +172,8 @@ def bert_encode(
                 dropout_rate=0.0 if deterministic else cfg.attention_probs_dropout_prob,
                 dropout_rng=r1,
             )
+        elif use_block:
+            out = block_attention(q * scale, k, v, kv_mask=attention_mask)
         else:
             out = dot_product_attention(
                 q * scale, k, v, bias=bias,

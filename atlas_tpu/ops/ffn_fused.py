@@ -49,10 +49,22 @@ def ffn_wins(impl: str, deterministic: bool, hidden: int, intermediate: int) -> 
             and ffn_fits(hidden, intermediate))
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs error 1.5e-7 — below
+    bf16 resolution): Mosaic has no erf lowering, and the tanh-GELU would
+    break exact-GELU parity with the HF reference."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
 def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     h = jnp.dot(x_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:].astype(jnp.float32)
-    h = 0.5 * h * (1.0 + jax.lax.erf(h * (2.0 ** -0.5)))  # exact GELU, fp32
+    h = 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))  # exact-GELU to 1.5e-7, fp32
     h = h.astype(x_ref.dtype)
     o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     o_ref[:] = (o + b2_ref[:].astype(jnp.float32)).astype(o_ref.dtype)

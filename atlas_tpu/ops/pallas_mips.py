@@ -134,7 +134,7 @@ def mips_topk_pallas(
         grid=(n_major,),
         in_specs=[
             pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # corpus stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # corpus stays in HBM; manual DMA
         ],
         out_specs=[
             pl.BlockSpec((B, MAJOR // LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -174,6 +174,21 @@ def mips_topk_pallas(
 # (The same transposed layout on a bf16 corpus measured only 3.55ms vs 3.82ms
 # row-major — the 16-bit operand isn't relayout-bound, so the flat index keeps
 # its refresh-writable row-major layout and this trick stays sq8-only.)
+#
+# Round-3 floor analysis (every claim one-process chip-measured, tools/
+# bench_sq8_ablate.py + bench_sq8_sweep.py + bench_sq8_packed.py): the kernel
+# sits ON its DMA wall — DMA-only = 1.97ms, full kernel = 2.00ms (matmul and
+# selection fully hidden) — and the trailing lax.top_k over the (B, 8192)
+# winners added 0.51ms (now 0.3ms via the bf16 two-stage in _winner_topk). The
+# wall itself is rate-limited at ~390-450 GB/s (session-dependent) and did NOT
+# move under: bigger sub-tiles / deeper slots (flat 2.42-2.77ms across the
+# geometry grid), cross-step pipelining (no per-step drain left), int32
+# word-packed blocks + in-kernel bitcast (2.52-2.74, neutral — int8-tile DMA
+# writes are not the limiter), 2/4/8-way concurrent slice copies (neutral on
+# the full kernel), or Mosaic's own BlockSpec pipeliner (autodma 1.92ms =
+# same wall). ~2.45ms (26k QPS at B=64, recall@100 0.994) is the practical
+# v5e floor for this 768MB stream + exact-ish top-k; further QPS comes from
+# batch amortization (B=128 shares one stream), not from this kernel.
 
 
 def sq8_blocks(codes: jnp.ndarray, sub_tile: int = SUB_TILE) -> jnp.ndarray:
@@ -231,7 +246,8 @@ def _auto_slots(n_sub: int, sub_tile: int, d: int, b: int, n_win: int) -> int:
     return best
 
 
-def _make_sq8_kernel(sub_tile: int, n_sub: int, slots: int, packed: bool = False):
+def _make_sq8_kernel(sub_tile: int, n_sub: int, slots: int, packed: bool = False,
+                     dma_split: int = 1):
     """Strided-window selection: winner w of grid step i is the best row in
     {rows of block i with row % LANES == w}. vs the contiguous-window variant
     (reshape + cross-lane max/argmax, measured 2.52ms at 1M x 768 B=64) every
@@ -262,9 +278,35 @@ def _make_sq8_kernel(sub_tile: int, n_sub: int, slots: int, packed: bool = False
         B = q_ref.shape[0]
         q = q_ref[:]
         n_valid = nv_ref[0]
+        rows_per_slice = buf.shape[1] // dma_split
+
+        class _SplitCopy:
+            """One block copy issued as dma_split concurrent D-slices. A 4-way
+            split ran 11% faster in the DMA-ONLY ablation (tools/
+            bench_sq8_ablate.py dma vs dma4) but measured NEUTRAL on the full
+            kernel (2.485/2.635/2.489/2.587ms at splits 1/2/4/8, one process) —
+            the compute already hides the difference. Kept as a sweep knob;
+            default 1."""
+
+            def __init__(self, slot, g):
+                self.copies = [pltpu.make_async_copy(
+                    e_hbm.at[g, pl.ds(j * rows_per_slice, rows_per_slice), :],
+                    buf.at[slot, pl.ds(j * rows_per_slice, rows_per_slice), :],
+                    sems.at[slot, j]) for j in range(dma_split)]
+
+            def start(self):
+                for c in self.copies:
+                    c.start()
+
+            def wait(self):
+                for c in self.copies:
+                    c.wait()
 
         def dma(slot, g):  # g: global block index (traced)
-            return pltpu.make_async_copy(e_hbm.at[g], buf.at[slot], sems.at[slot])
+            if dma_split > 1:
+                return _SplitCopy(slot, g)
+            return pltpu.make_async_copy(e_hbm.at[g], buf.at[slot],
+                                         sems.at[slot, 0])
 
         @pl.when(i == 0)
         def _fill():  # only grid step 0 pays the pipeline fill
@@ -308,7 +350,7 @@ def _make_sq8_kernel(sub_tile: int, n_sub: int, slots: int, packed: bool = False
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret", "slots"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "slots", "dma_split"))
 def mips_topk_pallas_sq8(
     queries: jnp.ndarray,  # (B, D) compute dtype (pre-scaled by the SQ caller)
     blocks: jnp.ndarray,  # (NB, D, sub_tile) pre-biased int8 from sq8_blocks
@@ -316,6 +358,7 @@ def mips_topk_pallas_sq8(
     n_valid: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
     slots: int = 0,
+    dma_split: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (scores (B,k) fp32 vs the uint8 values, row indices (B,k) int32).
 
@@ -326,7 +369,8 @@ def mips_topk_pallas_sq8(
         interpret = jax.default_backend() != "tpu"
     if queries.shape[0] > B_MAX:
         return _split_batch(
-            lambda q: mips_topk_pallas_sq8(q, blocks, k, n_valid, interpret, slots),
+            lambda q: mips_topk_pallas_sq8(q, blocks, k, n_valid, interpret,
+                                           slots, dma_split),
             queries, k)
     packed = blocks.dtype == jnp.int32
     NB, D, sub_tile = blocks.shape
@@ -344,13 +388,16 @@ def mips_topk_pallas_sq8(
     if slots <= 0:
         slots = _auto_slots(n_sub, sub_tile, D, B, n_win)
 
+    if blocks.shape[1] % dma_split:  # D-slices must tile the buffer evenly
+        dma_split = 1
     vals, idx = pl.pallas_call(
-        _make_sq8_kernel(sub_tile, n_sub, slots, packed=packed),
+        _make_sq8_kernel(sub_tile, n_sub, slots, packed=packed,
+                         dma_split=dma_split),
         grid=(NB // n_sub,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid scalar
             pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((B, MAJOR // LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -363,7 +410,7 @@ def mips_topk_pallas_sq8(
         scratch_shapes=[
             pltpu.VMEM((slots, D // 4, sub_tile), jnp.int32) if packed
             else pltpu.VMEM((slots, D, sub_tile), jnp.int8),
-            pltpu.SemaphoreType.DMA((slots,)),
+            pltpu.SemaphoreType.DMA((slots, dma_split)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -142,6 +142,35 @@ def bench_sq8_mips():
             "recall": rec}
 
 
+def bench_sq8_mips_b128():
+    """Serving-batch sq8 throughput: the scan is corpus-stream-bound (~400GB/s
+    measured wall, ops/pallas_mips.py round-3 notes), so B=128 amortizes the
+    one mandatory 768MB read over 2x the queries in a single kernel call
+    (B_MAX=128). vs_baseline scales the faiss anchor linearly to B=128 (6000 *
+    2) — generous to faiss, whose own batch scaling is sublinear past its
+    bandwidth roof."""
+    from atlas_tpu.ops.pallas_mips import mips_topk_pallas_sq8, sq8_blocks
+
+    B = 128
+    codes = jax.random.randint(jax.random.PRNGKey(5), (N_PASSAGES, DIM), 0, 256, jnp.uint8)
+    blocks = jax.jit(sq8_blocks)(codes)
+    q = jax.random.normal(jax.random.PRNGKey(6), (B, DIM), dtype=jnp.bfloat16)
+    search = jax.jit(lambda q, c: mips_topk_pallas_sq8(q, c, TOPK, interpret=False))
+    _force(search(q, blocks)[0])
+    dt = _timed(search, 30, q, blocks)
+    qps = B / dt
+    from atlas_tpu.ops.mips import mips_topk
+
+    exact = jax.jit(lambda q, c: mips_topk(q, c.astype(jnp.bfloat16), TOPK,
+                                           chunk=1_048_576, recall_target=1.0))
+    rec = _recall(search(q, blocks)[1], exact(q, codes)[1])
+    del codes
+    return {"metric": "sq8_mips_qps_per_chip_1Mx768_k100_b128", "value": round(qps, 1),
+            "unit": "queries/s",
+            "vs_baseline": round(qps / (FAISS_V100_BASELINE_QPS * 2), 2),
+            "recall": rec}
+
+
 def bench_pq_adc():
     from atlas_tpu.ops.pq_adc import pq_adc_scores
 
@@ -403,7 +432,7 @@ def bench_refresh():
             "baseline": "driver north star: 33M passages / 10 min / 32 chips = 1719/s/chip"}
 
 
-BENCHES = [bench_pq_adc, bench_sq8_mips, bench_ivf_sparse, bench_fid_train,
+BENCHES = [bench_pq_adc, bench_sq8_mips, bench_sq8_mips_b128, bench_ivf_sparse, bench_fid_train,
            bench_joint_train, bench_decode, bench_decode_large, bench_refresh,
            bench_flat_mips_b256, bench_flat_mips]  # headline flat-MIPS LAST
 

@@ -153,3 +153,21 @@ def test_pallas_sq8_large_batch_splits():
     assert np.array_equal(np.asarray(idx), np.concatenate([np.asarray(i0), np.asarray(i1)]))
     np.testing.assert_allclose(
         np.asarray(vals), np.concatenate([np.asarray(v0), np.asarray(v1)]), rtol=1e-6)
+
+
+def test_pallas_sq8_packed_blocks_match_int8():
+    """Word-packed int32 blocks (sq8_blocks_packed + in-kernel bitcast) select
+    the same winners as the int8 block layout, across dma_split settings."""
+    from atlas_tpu.ops.pallas_mips import (
+        mips_topk_pallas_sq8, sq8_blocks, sq8_blocks_packed)
+
+    rng = np.random.RandomState(7)
+    N, D, K = 40000, 64, 10
+    codes = jnp.asarray(rng.randint(0, 256, (N, D)).astype(np.uint8))
+    q = jnp.asarray(rng.randn(4, D).astype(np.float32))
+    v_ref, i_ref = mips_topk_pallas_sq8(q, sq8_blocks(codes, 1024), K, n_valid=N)
+    for blocks in (sq8_blocks_packed(codes, 1024), sq8_blocks(codes, 2048)):
+        for split in (1, 4):
+            v, i = mips_topk_pallas_sq8(q, blocks, K, n_valid=N, dma_split=split)
+            assert np.array_equal(np.asarray(i), np.asarray(i_ref))
+            np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-5)

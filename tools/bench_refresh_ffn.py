@@ -20,9 +20,10 @@ L, B = 192, 512
 ITERS = 10
 
 
-def run(ffn_impl, params, ids, mask):
+def run(ffn_impl, attn_impl, params, ids, mask):
     cfg = dataclasses.replace(
-        bert_config_for("bert-base-uncased"), ffn_impl=ffn_impl)
+        bert_config_for("bert-base-uncased"), ffn_impl=ffn_impl,
+        attn_impl=attn_impl)
 
     def embed(params, ids, mask):
         return bert_encode(params, cfg, ids, mask).mean(axis=1)
@@ -43,13 +44,16 @@ def main():
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, L), 0, cfg.vocab_size)
     mask = jnp.ones((B, L), jnp.int32)
 
-    ms_xla, emb_xla = run("xla", params, ids, mask)
-    ms_fused, emb_fused = run("fused", params, ids, mask)
-    err = float(np.max(np.abs(emb_fused.astype(np.float32)
-                              - emb_xla.astype(np.float32))))
-    print(f"xla   {ms_xla:7.2f} ms/batch ({B / ms_xla * 1e3:7.0f} passages/s)")
-    print(f"fused {ms_fused:7.2f} ms/batch ({B / ms_fused * 1e3:7.0f} passages/s)"
-          f"  ({ms_xla / ms_fused:.3f}x)  max|d_emb|={err:.4f}")
+    ms_xla, emb_xla = run("xla", "xla", params, ids, mask)
+    print(f"xla/xla     {ms_xla:7.2f} ms/batch "
+          f"({B / ms_xla * 1e3:7.0f} passages/s)", flush=True)
+    for ffn, attn in [("fused", "xla"), ("xla", "block"), ("fused", "block")]:
+        ms, emb = run(ffn, attn, params, ids, mask)
+        err = float(np.max(np.abs(emb.astype(np.float32)
+                                  - emb_xla.astype(np.float32))))
+        print(f"{ffn}/{attn:5s} {ms:7.2f} ms/batch "
+              f"({B / ms * 1e3:7.0f} passages/s)  ({ms_xla / ms:.3f}x)  "
+              f"max|d_emb|={err:.4f}", flush=True)
 
 
 if __name__ == "__main__":

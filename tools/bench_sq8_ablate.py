@@ -128,7 +128,7 @@ def run_variant(q, blocks, mode, topk=False):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((B, MAJOR // LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -146,6 +146,67 @@ def run_variant(q, blocks, mode, topk=False):
     )(nv, q, blocks)
     if topk:
         return jax.lax.top_k(vals, K)
+    return vals.sum(), idx[:, :1]
+
+
+def make_auto_kernel(mode):
+    """Corpus streamed by Mosaic's own BlockSpec pipeliner (no manual DMA):
+    grid over (D, BLK) blocks, one winner (B, LANES) block per step."""
+    BLK = 8192  # rows per grid step: (768, 8192) int8 = 6.3MB double-buffered
+
+    def kernel(nv_ref, q_ref, e_ref, vals_ref, idx_ref):
+        i = pl.program_id(0)
+        q = q_ref[:]
+        n_valid = nv_ref[0]
+        if mode == "autodma":
+            vals_ref[:] = jnp.broadcast_to(
+                e_ref[0:1, 0:LANES].astype(jnp.float32), (B, LANES))
+            idx_ref[:] = jnp.zeros((B, LANES), jnp.int32)
+            return
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
+        s = jax.lax.dot_general(
+            q, e_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (B, BLK)
+        rowbase = i * BLK + lane
+        acc_v = jnp.full((B, LANES), jnp.finfo(jnp.float32).min, jnp.float32)
+        acc_i = jnp.zeros((B, LANES), jnp.int32)
+        for c in range(BLK // LANES):
+            cand = s[:, c * LANES:(c + 1) * LANES]
+            row = rowbase + c * LANES
+            better = (cand > acc_v) & (row < n_valid)
+            acc_v = jnp.where(better, cand, acc_v)
+            acc_i = jnp.where(better, row, acc_i)
+        vals_ref[:] = acc_v
+        idx_ref[:] = acc_i
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def run_auto(q, blocks2d, mode):
+    # blocks2d: (D, N) int8 pre-biased, lane-major corpus
+    D_, Ntot = blocks2d.shape
+    BLK = 8192
+    n_steps = Ntot // BLK
+    nv = jnp.asarray(N, jnp.int32).reshape(1)
+    vals, idx = pl.pallas_call(
+        make_auto_kernel(mode),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, D_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D_, BLK), lambda i: (0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((B, LANES), lambda i: (0, i)),
+            pl.BlockSpec((B, LANES), lambda i: (0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_steps * LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_steps * LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+    )(nv, q, blocks2d)
     return vals.sum(), idx[:, :1]
 
 
@@ -167,12 +228,18 @@ def main():
     scale = (jnp.max(jnp.abs(q.astype(jnp.float32)), axis=1, keepdims=True) / 127.0)
     q8 = jnp.clip(jnp.round(q.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
 
+    blocks2d = None
     for mode in MODES:
         if mode == "prod":
             f = jax.jit(lambda q, c: mips_topk_pallas_sq8(q, c, K, interpret=False))
             ms = timed(f, q, blocks)
         elif mode == "s8q":
             ms = timed(lambda a, b: run_variant(a, b, "s8q"), q8, blocks)
+        elif mode in ("auto", "autodma"):
+            if blocks2d is None:
+                nb = blocks.shape[0]
+                blocks2d = jnp.swapaxes(blocks, 0, 1).reshape(D, nb * SUB_TILE)
+            ms = timed(lambda a, b, m=mode: run_auto(a, b, m), q, blocks2d)
         else:
             ms = timed(lambda a, b: run_variant(a, b, mode), q, blocks)
         print(f"{mode:7s} {ms:7.3f} ms  ({B / ms * 1e3:9.0f} QPS)", flush=True)
