@@ -581,7 +581,13 @@ def _fused_decode_ok(
     (greedy stays token-identical; not root-caused, interpret mode matches) —
     so beam NEVER fuses on a real TPU, even under "on". "on" forces fusion
     (incl. beam off-TPU, interpret mode — tests), "off" keeps the XLA scan
-    step."""
+    step.
+
+    Greedy token-exactness vs the scan step is model-family-dependent: relu
+    models (t5-base/large) measured token-IDENTICAL; gated-gelu models agree
+    to bf16 tanh-gelu noise (chip probe at v1_1-base: max logit delta 0.07 on
+    a ~9 range, 100% top-1 at probed steps) so near-tie argmax flips can
+    diverge random-init greedy sequences — quality-neutral, not a bug."""
     mode = getattr(cfg, "decode_fused", "auto")
     if mode == "off":
         return False
@@ -599,6 +605,15 @@ def _fused_decode_ok(
     if cfg.d_model % 128 or cfg.inner_dim % 128 or cfg.d_ff % 128:
         return False
     if (Bq * cfg.num_heads) % 8:
+        return False
+    if mode == "auto" and (cfg.d_model > 1024 or cfg.num_heads > 16):
+        # Measured on chip (2026-08-19, tools/bench_greedy_fused.py, one
+        # process each): fused WINS through t5-large / v1_1-base dims (1.3-1.7x,
+        # CLAUDE.md decode rows) but LOSES at t5-xl (d_model 2048, H=32):
+        # 2511.5 vs 1632.5 ms/gen = 0.65x — the per-(b,h) VPU attention loops
+        # and (D, B) residual-stream ops scale with H and D while the XLA scan
+        # stays matmul-shaped. Same failure mode as the closed beam fusion.
+        # "on" still forces fusion for experiments.
         return False
     if mode == "auto":
         from atlas_tpu.ops.decode_fused import FUSED_VMEM_BUDGET, fused_vmem_bytes
