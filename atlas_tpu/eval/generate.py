@@ -20,10 +20,11 @@ from atlas_tpu.models.t5 import T5Config, init_decode_cache, t5_decode_step
 
 NEG = -1.0e7
 
-# Ablation surface (tools/bench_beam_topk.py): trace-time switch back to the
-# single flat (B, K*V) top-2K the beam step used before the two-stage split.
-# Not a runtime knob — flip + _clear_cache() to re-trace.
+# Ablation surfaces (tools/bench_beam_topk.py): trace-time switches back to
+# the single flat (B, K*V) top-2K and the unconditional cache permute the beam
+# step used before. Not runtime knobs — flip + _clear_cache() to re-trace.
 _FLAT_TOPK = False
+_ALWAYS_PERMUTE = False
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_length", "min_length", "has_prefix"))
@@ -145,6 +146,8 @@ def beam_generate(
                 self_v=cache["self_v"][:, flat_idx],
             )
 
+        if _ALWAYS_PERMUTE:
+            return permute(cache)
         return jax.lax.cond(is_identity, lambda c: c, permute, cache)
 
     def cond(state):

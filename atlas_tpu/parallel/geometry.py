@@ -142,3 +142,69 @@ def plan_train_memory(
         grads_gib=elems * 4 / GiB,
         activations_gib=act / GiB,
     )
+
+
+@dataclasses.dataclass
+class DecodePlan:
+    reader_type: str
+    mp: int
+    weights_gib: float       # resident decode weights (bf16 or int8), mp-sharded
+    cross_cache_gib: float   # per-layer cross K/V over N*L keys
+    self_cache_gib: float    # max_len self K/V (beams included)
+    workspace_gib: float     # encoder pass live set (the peak transient)
+    overhead: float = 1.15
+
+    @property
+    def total_gib(self) -> float:
+        return self.overhead * (self.weights_gib + self.cross_cache_gib
+                                + self.self_cache_gib + self.workspace_gib)
+
+    def fits(self, chip: str, headroom: float = 0.9) -> bool:
+        return self.total_gib <= CHIP_HBM_GIB[chip] * headroom
+
+
+def plan_decode_memory(
+    reader_type: str,
+    mp: int = 1,
+    batch: int = 8,
+    n_context: int = 40,
+    text_len: int = 384,
+    max_len: int = 64,
+    num_beams: int = 1,
+    weights: str = "bf16",        # "bf16" | "int8" (--decode_weights)
+    cache_dtype: str = "int8",    # decode_cache_dtype
+) -> DecodePlan:
+    """Serving-side HBM plan: which mesh fits a reader's FiD decode?
+
+    Mirrors the real live sets: mp-sharded bf16 (or --decode_weights int8)
+    weights, the all-layer cross K/V cache over batch*n_context*text_len keys
+    (int8 via decode_cache_dtype, built layer-at-a-time so no f32 transient,
+    models/t5.py init_decode_cache), the max_len self cache carrying beams, and
+    the encoder forward's live activations (the transient peak before decoding
+    starts). Answers e.g. "can one v5e chip serve atlas-xxl w8 at N=20?" and
+    "what mp does 11B bf16 serving need?" without an OOM hunt — the reference
+    discovers this empirically on 8xA100 hosts (README_MMLU.md:73)."""
+    from atlas_tpu.models.t5 import init_t5, t5_config_for
+
+    cfg = t5_config_for(reader_type, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(lambda k: init_t5(k, cfg), jax.random.PRNGKey(0))
+    n_params = float(sum(math.prod(l.shape) for l in jax.tree.leaves(shapes)))
+    wbytes = 1 if weights == "int8" else 2
+    cbytes = 1 if cache_dtype == "int8" else 2
+
+    Lk = n_context * text_len
+    H, Dh, nL = cfg.num_heads, cfg.d_kv, cfg.num_decoder_layers
+    cross = 2 * nL * batch * H * Lk * Dh * cbytes           # K and V
+    selfc = 2 * nL * batch * num_beams * H * max_len * Dh * cbytes
+    # encoder live set (no remat at eval): rows = B*N, the widest tensor per
+    # layer is the (rows, L, d_ff) FFN intermediate plus the (rows, L, d) stream
+    rows = batch * n_context
+    work = rows * text_len * (cfg.d_ff + 4 * cfg.d_model) * 2
+
+    return DecodePlan(
+        reader_type=reader_type, mp=mp,
+        weights_gib=n_params * wbytes / mp / GiB,
+        cross_cache_gib=cross / mp / GiB,   # heads shard over mp
+        self_cache_gib=selfc / mp / GiB,
+        workspace_gib=work / mp / GiB,
+    )

@@ -55,3 +55,36 @@ def test_fsdp_widening_engages_at_scale():
     repl = plan_train_memory("google/t5-v1_1-xxl", dp=16, mp=2, shard_optim=False)
     assert sharded.state_gib < repl.state_gib / 3, (sharded.state_gib, repl.state_gib)
     assert repl.state_gib > CHIP_HBM_GIB["v5e"]  # and replicated really is absurd
+
+
+def test_decode_plans_pin_serving_meshes():
+    """Serving geometry (plan_decode_memory): the recommendations the docs make.
+
+    - t5-base/large serve greedy on ONE v5e chip (the bench operating point).
+    - t5-xl (3B) bf16 fits one v5e chip at the bench point (measured: it runs).
+    - xxl (11B) does NOT fit one v5e even with int8 weights at N=20 — it needs
+      mp (TP over heads/d_ff): mp=4 on v5e, or a single v5p chip.
+    """
+    from atlas_tpu.parallel.geometry import plan_decode_memory
+
+    base = plan_decode_memory("t5-base", batch=8, n_context=20, text_len=256,
+                              max_len=32)
+    assert base.fits("v5e")
+    xl = plan_decode_memory("google/t5-xl-lm-adapt", batch=8, n_context=20,
+                            text_len=256, max_len=32)
+    assert xl.fits("v5e")
+
+    xxl_1chip = plan_decode_memory("google/t5-xxl-lm-adapt", batch=8,
+                                   n_context=20, text_len=256, max_len=32,
+                                   weights="int8")
+    assert not xxl_1chip.fits("v5e")
+    xxl_tp4 = plan_decode_memory("google/t5-xxl-lm-adapt", mp=4, batch=8,
+                                 n_context=20, text_len=256, max_len=32)
+    assert xxl_tp4.fits("v5e")
+    xxl_v5p = plan_decode_memory("google/t5-xxl-lm-adapt", batch=8,
+                                 n_context=20, text_len=256, max_len=32)
+    assert xxl_v5p.fits("v5p")
+    # the NQ eval shape (N=40, L=384, beam-4) on v5p stays within one chip too
+    xxl_nq = plan_decode_memory("google/t5-xxl-lm-adapt", batch=1, n_context=40,
+                                text_len=384, max_len=64, num_beams=4)
+    assert xxl_nq.fits("v5p")

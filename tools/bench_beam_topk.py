@@ -20,8 +20,9 @@ B, N, L, GEN, K = 8, 20, 256, 32, 4
 ITERS = 10
 
 
-def run(flat_topk, params, cfg, ids, mask):
+def run(flat_topk, params, cfg, ids, mask, always_permute=False):
     gen._FLAT_TOPK = flat_topk
+    gen._ALWAYS_PERMUTE = always_permute
     gen.beam_generate._clear_cache()
     f = jax.jit(lambda p, i, m: gen.beam_generate(
         p, cfg, i, m, max_length=GEN, num_beams=K, length_penalty=1.0))
@@ -42,10 +43,12 @@ def main():
 
     ms_flat, tok_flat = run(True, params, cfg, ids, mask)
     ms_split, tok_split = run(False, params, cfg, ids, mask)
-    match = bool((tok_flat == tok_split).all())
+    ms_perm, tok_perm = run(False, params, cfg, ids, mask, always_permute=True)
+    match = bool((tok_flat == tok_split).all()) and bool((tok_perm == tok_split).all())
     print(f"beam-{K} t5-base int8: flat topk {ms_flat:.1f} ms/gen vs two-stage "
-          f"{ms_split:.1f} ({ms_flat / ms_split:.3f}x), tokens_match={match}",
-          flush=True)
+          f"{ms_split:.1f} ({ms_flat / ms_split:.3f}x); always-permute "
+          f"{ms_perm:.1f} vs identity-skip {ms_split:.1f} "
+          f"({ms_perm / ms_split:.3f}x), tokens_match={match}", flush=True)
 
 
 if __name__ == "__main__":
