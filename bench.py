@@ -408,6 +408,43 @@ def bench_decode_large():
             "baseline": "r02 chip A/B of this config: fused int8 461.9 ms/gen = 17.3 seq/s"}
 
 
+def bench_decode_beam():
+    """Beam-4 canary: the NQ eval path rides the XLA beam scan (fused beam was
+    measured a loss and gated off — CLAUDE.md closed experiment 5), so it gets
+    none of the fused-greedy win; this line keeps its cost visible per round.
+    Same serving point as bench_decode. vs_baseline is an IN-PROCESS A/B vs the
+    bf16 cross-KV cache (the default without --decode_kv_cache int8): constant
+    anchors are pure tunnel noise for this metric (measured 146.6 ms in one
+    process and 198.5 in another, same session)."""
+    import dataclasses
+
+    from atlas_tpu.eval.generate import beam_generate
+    from atlas_tpu.models.t5 import init_t5, t5_config_for
+
+    B, N, L, GEN, K = 8, 20, 256, 32, 4
+    base = t5_config_for("t5-base", dtype=jnp.bfloat16)
+    base = dataclasses.replace(base, dropout_rate=0.0)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          init_t5(jax.random.PRNGKey(0), base))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, N, L), 0, 32000)
+    mask = jnp.ones((B, N, L), jnp.int32)
+
+    def run(cache_dtype):
+        cfg = dataclasses.replace(base, decode_cache_dtype=cache_dtype)
+        f = jax.jit(lambda p, i, m: beam_generate(
+            p, cfg, i, m, max_length=GEN, num_beams=K, length_penalty=1.0))
+        _force(f(params, ids, mask))
+        return _timed(f, 10, params, ids, mask)
+
+    dt_bf16 = run("bf16")
+    dt = run("int8")
+    sps = B / dt
+    return {"metric": "decode_beam4_seq_per_s_t5base_b8_n20_l256_gen32_int8cache",
+            "value": round(sps, 1),
+            "unit": "seq/s", "vs_baseline": round(dt_bf16 / dt, 2),
+            "baseline": "same process, bf16 cross-KV cache (no --decode_kv_cache int8)"}
+
+
 def bench_refresh():
     from atlas_tpu.models.bert import bert_config_for, bert_encode, init_bert
 
@@ -433,7 +470,8 @@ def bench_refresh():
 
 
 BENCHES = [bench_pq_adc, bench_sq8_mips, bench_sq8_mips_b128, bench_ivf_sparse, bench_fid_train,
-           bench_joint_train, bench_decode, bench_decode_large, bench_refresh,
+           bench_joint_train, bench_decode, bench_decode_large,
+           bench_decode_beam, bench_refresh,
            bench_flat_mips_b256, bench_flat_mips]  # headline flat-MIPS LAST
 
 
