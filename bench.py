@@ -408,6 +408,40 @@ def bench_decode_large():
             "baseline": "r02 chip A/B of this config: fused int8 461.9 ms/gen = 17.3 seq/s"}
 
 
+def bench_decode_xl():
+    """3B-reader canary (VERDICT r02 item 4): t5-xl greedy decode on ONE v5e
+    chip at the same serving point. Exercises the big-reader plumbing end to
+    end: layer-at-a-time int8 cross-cache build (the f32-transient OOM fix,
+    models/t5.py init_decode_cache), the d_model>1024 auto-gate that keeps xl
+    on the XLA scan (fused measured 0.65x at these dims), and the bf16-cache
+    infeasibility (16 GiB at xl dims — int8 is the operating point, not a
+    tweak). Anchor: the 2026-08-19 chip measurement, 1632.5 ms/gen."""
+    import dataclasses
+
+    from atlas_tpu.eval.generate import greedy_generate
+    from atlas_tpu.models.t5 import init_t5, t5_config_for
+
+    B, N, L, GEN = 8, 20, 256, 32
+    cfg = t5_config_for("google/t5-xl-lm-adapt", dtype=jnp.bfloat16)
+    cfg = dataclasses.replace(cfg, dropout_rate=0.0, decode_cache_dtype="int8")
+    params = jax.jit(lambda k: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), init_t5(k, cfg)))(jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, N, L), 0, 32000)
+    mask = jnp.ones((B, N, L), jnp.int32)
+
+    def gen(params, ids, mask):
+        return greedy_generate(params, cfg, ids, mask, max_length=GEN)
+
+    f = jax.jit(gen)
+    _force(f(params, ids, mask))
+    dt = _timed(f, 5, params, ids, mask)
+    sps = B / dt
+    return {"metric": "decode_greedy_seq_per_s_t5xl_b8_n20_l256_gen32_int8cache",
+            "value": round(sps, 2),
+            "unit": "seq/s", "vs_baseline": round(sps / (8 / 1.6325), 2),
+            "baseline": "r03 chip measurement of this config: XLA scan 1632.5 ms/gen"}
+
+
 def bench_decode_beam():
     """Beam-4 canary: the NQ eval path rides the XLA beam scan (fused beam was
     measured a loss and gated off — CLAUDE.md closed experiment 5), so it gets
@@ -471,7 +505,7 @@ def bench_refresh():
 
 BENCHES = [bench_pq_adc, bench_sq8_mips, bench_sq8_mips_b128, bench_ivf_sparse, bench_fid_train,
            bench_joint_train, bench_decode, bench_decode_large,
-           bench_decode_beam, bench_refresh,
+           bench_decode_xl, bench_decode_beam, bench_refresh,
            bench_flat_mips_b256, bench_flat_mips]  # headline flat-MIPS LAST
 
 
