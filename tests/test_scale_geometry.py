@@ -88,3 +88,21 @@ def test_decode_plans_pin_serving_meshes():
     xxl_nq = plan_decode_memory("google/t5-xxl-lm-adapt", batch=1, n_context=40,
                                 text_len=384, max_len=64, num_beams=4)
     assert xxl_nq.fits("v5p")
+
+
+def test_plan_mesh_tool_smoke():
+    """tools/plan_mesh.py prints a first-fit train+serve mesh per reader."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo")
+    r = subprocess.run([sys.executable, "tools/plan_mesh.py", "v5e"],
+                       capture_output=True, text=True, timeout=300,
+                       cwd="/root/repo", env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    out = r.stdout
+    assert "t5-base" in out and "google/t5-xxl-lm-adapt" in out
+    # the xxl serving column must recommend mp=4 (it cannot fit one v5e chip)
+    xxl_line = next(l for l in out.splitlines() if "xxl" in l)
+    assert "mp=4" in xxl_line, xxl_line
