@@ -38,6 +38,12 @@ def block_attn_wins(impl: str, lq: int, lk: int, heads: int,
     L<=256, ops/flash.py). Kept as a tested, explicitly-selectable kernel;
     re-gate only with new same-process evidence."""
     if impl == "block":
+        if not deterministic:
+            # Forward-only kernel: no dropout and no VJP. Fail at dispatch with
+            # a policy message instead of a downstream pallas_call grad error.
+            raise ValueError(
+                "attn_impl='block' is a forward-only kernel (no attention "
+                "dropout, no VJP) — use 'flash' or 'xla' on training forwards")
         return lq == lk and lq <= L_MAX and heads * lq * lq * 4 <= 8 * 1024 * 1024
     return False
 

@@ -42,6 +42,12 @@ def ffn_wins(impl: str, deterministic: bool, hidden: int, intermediate: int) -> 
     VJP), so auto engages only on deterministic TPU forwards where the weights
     fit — exactly the refresh embed / eval shapes."""
     if impl == "fused":
+        if not ffn_fits(hidden, intermediate):
+            raise ValueError(
+                f"ffn_impl='fused' keeps both weight matrices VMEM-resident; "
+                f"{hidden}x{intermediate} needs "
+                f"{2 * hidden * intermediate * 2 / 2**20:.1f}MB > "
+                f"{_WEIGHT_BUDGET / 2**20:.0f}MB budget — use 'xla'")
         return True
     if impl != "auto":
         return False

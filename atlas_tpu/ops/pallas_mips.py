@@ -350,7 +350,8 @@ def _make_sq8_kernel(sub_tile: int, n_sub: int, slots: int, packed: bool = False
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret", "slots", "dma_split"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "slots",
+                                              "dma_split", "exact_topk"))
 def mips_topk_pallas_sq8(
     queries: jnp.ndarray,  # (B, D) compute dtype (pre-scaled by the SQ caller)
     blocks: jnp.ndarray,  # (NB, D, sub_tile) pre-biased int8 from sq8_blocks
@@ -359,6 +360,7 @@ def mips_topk_pallas_sq8(
     interpret: Optional[bool] = None,
     slots: int = 0,
     dma_split: int = 1,
+    exact_topk: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (scores (B,k) fp32 vs the uint8 values, row indices (B,k) int32).
 
@@ -370,7 +372,7 @@ def mips_topk_pallas_sq8(
     if queries.shape[0] > B_MAX:
         return _split_batch(
             lambda q: mips_topk_pallas_sq8(q, blocks, k, n_valid, interpret,
-                                           slots, dma_split),
+                                           slots, dma_split, exact_topk),
             queries, k)
     packed = blocks.dtype == jnp.int32
     NB, D, sub_tile = blocks.shape
@@ -419,14 +421,15 @@ def mips_topk_pallas_sq8(
     )(nv, q, blocks)
 
     k = min(k, n_win)
-    top_vals, pos = _winner_topk(vals, k)
+    top_vals, pos = _winner_topk(vals, k, exact=exact_topk)
     top_idx = jnp.take_along_axis(idx, pos, axis=1)
     # restore the re-bias: q . c_u8 = q . (c_u8 - 128) + 128 * sum(q)
     top_vals = top_vals + 128.0 * jnp.sum(q.astype(jnp.float32), axis=1, keepdims=True)
     return top_vals, top_idx
 
 
-def _winner_topk(vals: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _winner_topk(vals: jnp.ndarray, k: int,
+                 exact: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact-at-this-operating-point top-k over the (B, n_win) winner scores.
 
     lax.top_k's fp32 partial sort costs ~0.5ms of the 2.5ms B=64/1M search
@@ -434,10 +437,11 @@ def _winner_topk(vals: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     an fp32 refine among the m survivors measured 0.2ms faster at identical
     recall@100. Only boundary candidates whose bf16 roundings tie across >m-k
     better-indexed rows can differ from exact — beyond the precision the
-    window-selection stage already trades away."""
+    window-selection stage already trades away. Callers that need the exact
+    fp32 partial sort pass exact=True (exact_topk on mips_topk_pallas_sq8)."""
     n = vals.shape[1]
     m = max(128, 2 * k)
-    if k > 112 or m >= n:  # refine slack too thin / nothing to winnow
+    if exact or k > 112 or m >= n:  # opt-out / slack too thin / nothing to winnow
         return jax.lax.top_k(vals, k)
     _, coarse = jax.lax.top_k(vals.astype(jnp.bfloat16), m)
     vf = jnp.take_along_axis(vals, coarse, axis=1)

@@ -195,7 +195,12 @@ def plan_decode_memory(
     Lk = n_context * text_len
     H, Dh, nL = cfg.num_heads, cfg.d_kv, cfg.num_decoder_layers
     cross = 2 * nL * batch * H * Lk * Dh * cbytes           # K and V
-    selfc = 2 * nL * batch * num_beams * H * max_len * Dh * cbytes
+    if cache_dtype == "int8":
+        # per-key-vector f32 scales for K and V (models/t5.py init_decode_cache)
+        cross += 2 * nL * batch * H * Lk * 4
+    # the self cache is always allocated at cfg.dtype (bf16) — only the cross
+    # cache quantizes (models/t5.py:840-841)
+    selfc = 2 * nL * batch * num_beams * H * max_len * Dh * 2
     # encoder live set (no remat at eval): rows = B*N, the widest tensor per
     # layer is the (rows, L, d_ff) FFN intermediate plus the (rows, L, d) stream
     rows = batch * n_context

@@ -5,6 +5,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from atlas_tpu.ops.attention import dot_product_attention, make_attention_bias
 from atlas_tpu.ops.block_attn import block_attention, block_attn_wins
@@ -45,6 +46,8 @@ def test_dispatch_policy():
     assert block_attn_wins("block", 192, 192, 12, deterministic=True)
     assert not block_attn_wins("block", 384, 192, 12, deterministic=True)  # lq != lk
     assert not block_attn_wins("block", 512, 512, 32, deterministic=True)  # VMEM
+    with pytest.raises(ValueError, match="forward-only"):  # no dropout / no VJP
+        block_attn_wins("block", 192, 192, 12, deterministic=False)
 
 
 def test_bert_encode_routes_block():

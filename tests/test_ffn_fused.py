@@ -48,7 +48,9 @@ def test_dispatch_policy():
     assert not ffn_fits(1024, 4096)   # bert-large: 16MB
     assert not ffn_wins("auto", False, 768, 3072)   # training: XLA keeps the vjp
     assert not ffn_wins("xla", True, 768, 3072)
-    assert ffn_wins("fused", False, 1024, 4096)     # explicit override
+    assert ffn_wins("fused", False, 768, 3072)      # explicit override, fits
+    with pytest.raises(ValueError, match="VMEM"):   # over the residency budget:
+        ffn_wins("fused", False, 1024, 4096)        # policy error, not Mosaic
 
 
 def test_bert_encode_routes_fused(monkeypatch):
