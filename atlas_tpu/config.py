@@ -209,6 +209,18 @@ class AtlasConfig:
 
     def finalize(self) -> "AtlasConfig":
         """Post-parse mutual-exclusion rules (options.py:449-466)."""
+        if self.precision == "fp16":
+            # The reference pairs fp16 with a dynamic loss scaler
+            # (/root/reference/train.py:49,96-116); this framework has no
+            # scaler because TPU matmuls are natively bf16 — same memory as
+            # fp16 with an fp32 exponent range, so scaling machinery buys
+            # nothing. Accepting fp16 without a scaler would silently diverge
+            # on real data; refuse it loudly instead.
+            raise ValueError(
+                "--precision fp16 is not supported: fp16 training needs a "
+                "dynamic loss scaler and TPUs run bf16 natively at the same "
+                "cost — use --precision bf16 (fp32 master weights are kept "
+                "either way)")
         if self.closed_book:
             self.n_context = 1
             self.retriever_n_context = 1

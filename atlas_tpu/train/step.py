@@ -108,7 +108,10 @@ def grad_stats(grads) -> Dict[str, jnp.ndarray]:
     absmax = jnp.max(jnp.stack([jnp.max(jnp.abs(g)) for g in leaves]))
     absmin = jnp.min(jnp.stack([jnp.min(jnp.abs(g)) for g in leaves]))
     total = sum(jnp.sum(jnp.abs(g)) for g in leaves)
-    count = sum(g.size for g in leaves)
+    # float, not int: at 3B+ params the Python-int element count exceeds int32
+    # and overflows when traced into the division (caught by AOT-lowering the
+    # xl train step, parallel/aot.py)
+    count = float(sum(g.size for g in leaves))
     mean = total / count
     finite = jnp.all(jnp.stack([jnp.all(jnp.isfinite(g)) for g in leaves]))
     return {"stats/gmax": absmax, "stats/gmin": absmin, "stats/gmean": mean,

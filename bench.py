@@ -126,7 +126,11 @@ def bench_sq8_mips():
     codes = jax.random.randint(jax.random.PRNGKey(5), (N_PASSAGES, DIM), 0, 256, jnp.uint8)
     blocks = jax.jit(sq8_blocks)(codes)
     q = jax.random.normal(jax.random.PRNGKey(6), (BATCH, DIM), dtype=jnp.bfloat16)
-    search = jax.jit(lambda q, c: mips_topk_pallas_sq8(q, c, TOPK, interpret=False))
+    # n_valid masks the rows sq8_blocks padded to a MAJOR multiple — without it
+    # the ~15.8k pad rows score -128*sum(q) and flood the top-k of strongly
+    # negative-sum queries (the index path always passes it; the bench must too)
+    search = jax.jit(lambda q, c: mips_topk_pallas_sq8(
+        q, c, TOPK, n_valid=jnp.int32(N_PASSAGES), interpret=False))
     _force(search(q, blocks)[0])
     dt = _timed(search, 30, q, blocks)
     qps = BATCH / dt
@@ -155,7 +159,8 @@ def bench_sq8_mips_b128():
     codes = jax.random.randint(jax.random.PRNGKey(5), (N_PASSAGES, DIM), 0, 256, jnp.uint8)
     blocks = jax.jit(sq8_blocks)(codes)
     q = jax.random.normal(jax.random.PRNGKey(6), (B, DIM), dtype=jnp.bfloat16)
-    search = jax.jit(lambda q, c: mips_topk_pallas_sq8(q, c, TOPK, interpret=False))
+    search = jax.jit(lambda q, c: mips_topk_pallas_sq8(
+        q, c, TOPK, n_valid=jnp.int32(N_PASSAGES), interpret=False))
     _force(search(q, blocks)[0])
     dt = _timed(search, 30, q, blocks)
     qps = B / dt
@@ -241,6 +246,111 @@ def bench_ivf_sparse():
             "recall": rec}
 
 
+def _mfu(flops: float, seconds: float) -> float:
+    """Model-FLOPs utilization vs the chip bf16 peak (utils/flops.py) — the
+    absolute perf yardstick the per-session vs_baseline anchors can't give."""
+    from atlas_tpu.utils.flops import mfu
+
+    return round(mfu(flops, seconds), 4)
+
+
+def bench_north_star_equal_memory():
+    """The EQUAL-MEMORY form of the driver north star (VERDICT r03 weak 3):
+    sq8 halves bytes/row, so one chip serves a 2M-row corpus in the same
+    ~1.5 GB of HBM the bf16 flat index spends on 1M rows. This line measures
+    sq8 over 2M rows at B=128 on a FIXED 512-query eval set (large fixed set
+    kills the per-sample recall noise that made r03's b128 line read as a
+    regression), and prices it against the faiss-V100 flat anchor at equal
+    memory: vs_baseline = (qps * 2M/1M served rows) / (6000 * B/64 anchor).
+    The in-process bf16-flat-1M QPS at the same batch is emitted alongside so
+    the equal-memory claim is self-contained."""
+    from atlas_tpu.ops.mips import mips_topk
+    from atlas_tpu.ops.pallas_mips import mips_topk_pallas_sq8, sq8_blocks
+
+    N2, B, NQ = 2_000_000, 128, 512
+    codes = jax.random.randint(jax.random.PRNGKey(5), (N2, DIM), 0, 256, jnp.uint8)
+    queries = jax.random.normal(jax.random.PRNGKey(6), (NQ, DIM), dtype=jnp.bfloat16)
+    # exact oracle over the SAME quantized corpus, before codes are freed
+    exact = jax.jit(lambda q, c: mips_topk(q, c.astype(jnp.bfloat16), TOPK,
+                                           chunk=1_048_576, recall_target=1.0))
+    exact_ids = np.concatenate([np.asarray(exact(queries[s:s + B], codes)[1])
+                                for s in range(0, NQ, B)])
+    blocks = jax.jit(sq8_blocks)(codes)
+    del codes
+    search = jax.jit(lambda q, c: mips_topk_pallas_sq8(
+        q, c, TOPK, n_valid=jnp.int32(N2), interpret=False))
+    got = np.concatenate([np.asarray(search(queries[s:s + B], blocks)[1])
+                          for s in range(0, NQ, B)])
+    rec = _recall(got, exact_ids)
+    dt = _timed(search, 20, queries[:B], blocks)
+    qps = B / dt
+    del blocks
+
+    # sibling: our own bf16 flat scan over 1M rows (equal HBM) at the same batch
+    emb = jax.random.normal(jax.random.PRNGKey(0), (N_PASSAGES, DIM), dtype=jnp.bfloat16)
+    flat = jax.jit(lambda q, e: mips_topk(q, e, TOPK, chunk=1_048_576,
+                                          recall_target=0.99))
+    _force(flat(queries[:B], emb)[0])
+    dt_flat = _timed(flat, 20, queries[:B], emb)
+    flat_qps = B / dt_flat
+    return {"metric": "north_star_qps_equal_memory_sq8_2Mx768_vs_flat_1M_b128",
+            "value": round(qps, 1), "unit": "queries/s",
+            "vs_baseline": round((qps * 2.0) / (FAISS_V100_BASELINE_QPS * 2), 2),
+            "recall": rec,
+            "flat_bf16_1M_qps_same_process": round(flat_qps, 1),
+            "baseline": "faiss-V100 flat anchor at equal memory, rows-served "
+                        "normalized: (qps*2M/1M)/(6000*B/64)"}
+
+
+def bench_ivfpq_sparse():
+    """ivfpq through its SPARSE serving path — the production configuration
+    (VERDICT r03 item 9; faiss IVFPQ defaults, reference src/index.py:302-345):
+    nlist=1000, nprobe=16, code_size 64, B=8. The bare PQ-ADC full sweep
+    (bench_pq_adc) is gather-bound at ~8.3k QPS; probing 16/1000 clusters scans
+    ~1.6% of the codes (chip r02: 3.64ms vs 8.93 masked). Anchor: the masked
+    full-corpus ADC sweep on the same index at equal quantization. Recall is
+    vs the EXACT float corpus, so it prices the PQ quantization itself."""
+    from atlas_tpu.index.approx import DistributedApproxIndex
+    from atlas_tpu.parallel.mesh import make_mesh, set_global_mesh
+
+    B, M = 8, 64
+    mesh = make_mesh(1, 1)
+    set_global_mesh(mesh)
+
+    @jax.jit
+    def gen(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        centers = jax.random.normal(k1, (1000, DIM), jnp.float32) * 2
+        asg = jax.random.randint(k2, (N_PASSAGES,), 0, 1000)
+        e = centers[asg] + 0.3 * jax.random.normal(k3, (N_PASSAGES, DIM), jnp.float32)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    embs = gen(jax.random.PRNGKey(7))
+    index = DistributedApproxIndex("ivfpq", code_size=M, mesh=mesh,
+                                   dtype=jnp.bfloat16, nprobe=16)
+    index.init_embeddings([{"id": str(i)} for i in range(N_PASSAGES)], dim=DIM)
+    index.write_embeddings_rows(0, embs)
+    q = embs[:B].astype(jnp.float32)
+    from atlas_tpu.ops.mips import mips_topk
+
+    exact_ids = np.asarray(jax.jit(lambda q, e: mips_topk(
+        q, e, TOPK, chunk=1_048_576, recall_target=1.0))(q, embs)[1])
+    del embs
+    index.train_index()
+
+    index.ivf_impl = "masked"
+    dt_masked = _timed(lambda: index.device_search(q, TOPK), 20)
+    index.ivf_impl = "sparse"
+    rec = _recall(index.device_search(q, TOPK)[1], exact_ids)
+    dt = _timed(lambda: index.device_search(q, TOPK), 20)
+    qps = B / dt
+    return {"metric": "ivfpq_sparse_qps_1Mx768_m64_nlist1000_nprobe16_b8",
+            "value": round(qps, 1),
+            "unit": "queries/s", "vs_baseline": round(dt_masked / dt, 2),
+            "recall": rec,
+            "baseline": "masked full-corpus ADC sweep, same index/quantization"}
+
+
 def _fid_step_ms(attn_impl):
     import dataclasses
 
@@ -271,11 +381,16 @@ def _fid_step_ms(attn_impl):
 
 
 def bench_fid_train():
+    from atlas_tpu.models.t5 import t5_config_for
+    from atlas_tpu.utils.flops import fid_train_flops
+
     ms_flash, enc_tokens = _fid_step_ms("auto")
     ms_xla, _ = _fid_step_ms("xla")
     tps = enc_tokens / (ms_flash / 1e3)
+    flops = fid_train_flops(t5_config_for("t5-base"), B=1, N=40, L=384, T=64)
     return {"metric": "fid_train_enc_tokens_per_s_t5base_b1_n40_l384", "value": round(tps),
-            "unit": "tokens/s", "vs_baseline": round(ms_xla / ms_flash, 2)}
+            "unit": "tokens/s", "vs_baseline": round(ms_xla / ms_flash, 2),
+            "mfu": _mfu(flops, ms_flash / 1e3)}
 
 
 def _joint_step_ms(attn_impl):
@@ -335,12 +450,20 @@ def _joint_step_ms(attn_impl):
 
 
 def bench_joint_train():
+    from atlas_tpu.models.bert import bert_config_for
+    from atlas_tpu.models.t5 import t5_config_for
+    from atlas_tpu.utils.flops import joint_train_flops
+
     ms_flash, enc_tokens = _joint_step_ms("auto")
     ms_xla, _ = _joint_step_ms("xla")
     tps = enc_tokens / (ms_flash / 1e3)
+    flops = joint_train_flops(t5_config_for("t5-base"),
+                              bert_config_for("bert-base-uncased"),
+                              B=1, N=40, L=384, T=64, retr_len=384)
     return {"metric": "joint_train_enc_tokens_per_s_t5base_contriever_b1_n40_l384",
             "value": round(tps), "unit": "tokens/s",
-            "vs_baseline": round(ms_xla / ms_flash, 2)}
+            "vs_baseline": round(ms_xla / ms_flash, 2),
+            "mfu": _mfu(flops, ms_flash / 1e3)}
 
 
 def bench_decode():
@@ -371,9 +494,12 @@ def bench_decode():
     # bf16-cache XLA-scan point; this series (int8 cache + fused kernel) anchors
     # on that same r01 constant so vs_baseline stays a cross-round speedup, but
     # the name change marks the operating-point switch in the driver history.
+    from atlas_tpu.utils.flops import fid_greedy_decode_flops
+
     return {"metric": "decode_greedy_seq_per_s_t5base_b8_n20_l256_gen32_int8cache",
             "value": round(sps, 1),
             "unit": "seq/s", "vs_baseline": round(sps / 37.0, 2),
+            "mfu": _mfu(fid_greedy_decode_flops(cfg, B, N, L, GEN), dt),
             "baseline": "r01 bf16-cache XLA scan, 37.0 seq/s (BENCH_r01 operating point)"}
 
 
@@ -402,9 +528,12 @@ def bench_decode_large():
     _force(f(params, ids, mask))
     dt = _timed(f, 10, params, ids, mask)
     sps = B / dt
+    from atlas_tpu.utils.flops import fid_greedy_decode_flops
+
     return {"metric": "decode_greedy_seq_per_s_t5large_b8_n20_l256_gen32_int8cache",
             "value": round(sps, 1),
             "unit": "seq/s", "vs_baseline": round(sps / (8 / 0.4619), 2),
+            "mfu": _mfu(fid_greedy_decode_flops(cfg, B, N, L, GEN), dt),
             "baseline": "r02 chip A/B of this config: fused int8 461.9 ms/gen = 17.3 seq/s"}
 
 
@@ -436,9 +565,12 @@ def bench_decode_xl():
     _force(f(params, ids, mask))
     dt = _timed(f, 5, params, ids, mask)
     sps = B / dt
+    from atlas_tpu.utils.flops import fid_greedy_decode_flops
+
     return {"metric": "decode_greedy_seq_per_s_t5xl_b8_n20_l256_gen32_int8cache",
             "value": round(sps, 2),
             "unit": "seq/s", "vs_baseline": round(sps / (8 / 1.6325), 2),
+            "mfu": _mfu(fid_greedy_decode_flops(cfg, B, N, L, GEN), dt),
             "baseline": "r03 chip measurement of this config: XLA scan 1632.5 ms/gen"}
 
 
@@ -473,9 +605,12 @@ def bench_decode_beam():
     dt_bf16 = run("bf16")
     dt = run("int8")
     sps = B / dt
+    from atlas_tpu.utils.flops import fid_greedy_decode_flops
+
     return {"metric": "decode_beam4_seq_per_s_t5base_b8_n20_l256_gen32_int8cache",
             "value": round(sps, 1),
             "unit": "seq/s", "vs_baseline": round(dt_bf16 / dt, 2),
+            "mfu": _mfu(fid_greedy_decode_flops(base, B, N, L, GEN, beams=K), dt),
             "baseline": "same process, bf16 cross-KV cache (no --decode_kv_cache int8)"}
 
 
@@ -497,13 +632,17 @@ def bench_refresh():
     _force(f(params, ids, mask))
     dt = _timed(f, 10, params, ids, mask)
     pps = B / dt
+    from atlas_tpu.utils.flops import bert_fwd_flops
+
     return {"metric": "refresh_passages_per_s_per_chip_contriever_l192_b512",
             "value": round(pps, 1), "unit": "passages/s",
             "vs_baseline": round(pps / 1719.0, 2),
+            "mfu": _mfu(bert_fwd_flops(cfg, B * L, L), dt),
             "baseline": "driver north star: 33M passages / 10 min / 32 chips = 1719/s/chip"}
 
 
-BENCHES = [bench_pq_adc, bench_sq8_mips, bench_sq8_mips_b128, bench_ivf_sparse, bench_fid_train,
+BENCHES = [bench_pq_adc, bench_ivfpq_sparse, bench_sq8_mips, bench_sq8_mips_b128,
+           bench_north_star_equal_memory, bench_ivf_sparse, bench_fid_train,
            bench_joint_train, bench_decode, bench_decode_large,
            bench_decode_xl, bench_decode_beam, bench_refresh,
            bench_flat_mips_b256, bench_flat_mips]  # headline flat-MIPS LAST

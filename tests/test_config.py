@@ -27,6 +27,17 @@ def test_closed_book_overrides():
     assert cfg.use_file_passages
 
 
+def test_fp16_refused_loudly():
+    """--precision fp16 has no loss scaler here (TPU is natively bf16); it must
+    be rejected at finalize, not silently diverge (reference train.py:49,96-116
+    pairs fp16 with a dynamic scaler)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="bf16"):
+        AtlasConfig(precision="fp16").finalize()
+    assert AtlasConfig(precision="bf16").finalize().precision == "bf16"
+
+
 def test_paper_alias_score_modes():
     assert AtlasConfig(gold_score_mode="pdist").finalize().gold_score_mode == "ppmean"
     assert AtlasConfig(gold_score_mode="adist").finalize().gold_score_mode == "evalnormsum"
