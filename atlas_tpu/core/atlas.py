@@ -547,12 +547,60 @@ class Atlas:
             total = total + retriever_loss
         return total, aux
 
+    def _union_rows(self, arrays: Dict[str, Any]):
+        """Assemble the UNION of all processes' rows (padded to the max local
+        count with copies of row 0 — rows are independent) and place it over
+        the mesh dp-sharded. Required for generation/eval under multi-host
+        TP/FSDP: the reader params are globally sharded, so per-process jit
+        calls with different local inputs are undefined SPMD — every process
+        must enter ONE global computation (same protocol as _embed_union).
+        -> (global arrays dict, this process's row offset, local row count)."""
+        from jax.experimental import multihost_utils
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        arrays = {k: np.asarray(v) for k, v in arrays.items()}
+        n_local = next(iter(arrays.values())).shape[0]
+        counts = multihost_utils.process_allgather(
+            np.array([n_local], np.int64)).reshape(-1)
+        m = max(int(counts.max()), 1)
+
+        def union(a):
+            pad = np.repeat(a[:1], m - a.shape[0], axis=0) if a.shape[0] < m else a[:0]
+            full = multihost_utils.process_allgather(
+                np.concatenate([a, pad], axis=0))  # (world, m, ...)
+            return full.reshape((-1,) + a.shape[1:])
+
+        dp = self.mesh.shape.get("dp", 1)
+        rows = m * jax.process_count()
+        lead = "dp" if rows % dp == 0 else None  # replicate ragged unions
+
+        def place(a):
+            u = union(a)
+            sh = NamedSharding(self.mesh, P(lead, *([None] * (u.ndim - 1))))
+            return jax.make_array_from_callback(u.shape, sh, lambda idx: u[idx])
+
+        return ({k: place(v) for k, v in arrays.items()},
+                jax.process_index() * m, n_local)
+
+    def _union_out(self, out) -> np.ndarray:
+        """Replicate a union-row result so every process can read all rows."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return np.asarray(jax.jit(
+            lambda x: x, out_shardings=NamedSharding(self.mesh, P()))(out))
+
     def generate(self, reader_tok, query, choices=None):
         """Autoregressive decode (atlas.py:592-636): greedy or beam, with optional
         decoder-prompt forcing. Returns (B, max_length) np token ids incl. start."""
         cfg = self.cfg
-        tok = self._put_local({"ids": reader_tok["input_ids"],
-                               "mask": reader_tok["attention_mask"]})
+        multihost = (self.mesh is not None
+                     and self._params_multihost_global(self.reader_params))
+        if multihost:
+            tok, row0, n_local = self._union_rows(
+                {"ids": reader_tok["input_ids"], "mask": reader_tok["attention_mask"]})
+        else:
+            tok = self._put_local({"ids": reader_tok["input_ids"],
+                                   "mask": reader_tok["attention_mask"]})
         ids, mask = tok["ids"], tok["mask"]
         if ids.ndim == 2:
             ids, mask = ids[:, None], mask[:, None]
@@ -576,8 +624,13 @@ class Atlas:
                 max_length=cfg.generation_max_length, return_tensors="np",
                 add_special_tokens=False,
             )
-            forced = jnp.asarray(enc["input_ids"])
-            plen = jnp.asarray(np.asarray(enc["attention_mask"]).sum(axis=1))
+            forced = enc["input_ids"]
+            plen = np.asarray(enc["attention_mask"]).sum(axis=1)
+            if multihost:
+                fx, _, _ = self._union_rows({"forced": forced, "plen": plen})
+                forced, plen = fx["forced"], fx["plen"]
+            else:
+                forced, plen = jnp.asarray(forced), jnp.asarray(plen)
 
         if cfg.generation_num_beams > 1:
             out = beam_generate(
@@ -593,6 +646,8 @@ class Atlas:
                 max_length=cfg.generation_max_length, min_length=min_len,
                 forced_prefix=forced, prefix_len=plen, has_prefix=forced is not None,
             )
+        if multihost:
+            return self._union_out(out)[row0 : row0 + n_local]
         return np.asarray(out)
 
     def compute_reader_loss_and_logits(self, reader_tok, decoder_input_ids, labels):

@@ -17,6 +17,7 @@ branch that single-process tests cannot reach (reference protocols these replace
 Prints "WORKER<pid> OK" and exits 0 on success; any assert kills the test.
 """
 
+import json
 import os
 import sys
 
@@ -31,6 +32,9 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # match tests/conftest.py: step 10's loss is compared against a value the
+    # parent pytest process computes, so matmul precision must agree
+    jax.config.update("jax_default_matmul_precision", "highest")
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
     )
@@ -288,6 +292,77 @@ def main():
     fp = jax.jit(lambda t: [(jnp.sum(x), jnp.sum(jnp.abs(x))) for x in jax.tree.leaves(t)])
     for (a1, a2), (b1, b2) in zip(fp(state9.params), fp(state9b.params)):
         assert float(a1) == float(b1) and float(a2) == float(b2), "resume diverged"
+
+    # ---- 10. PRODUCTION train() over dp=4 x mp=2 across both processes — the
+    # last untested cell of the parallelism matrix (SURVEY §2 TP row): TP-sharded
+    # towers + ZeRO + retrieval-in-the-loop through the real training loop, loss
+    # parity vs the single-process same-global run (the parent computes it and
+    # checks mp10_result.json), and generation under mp>1 across processes
+    # (core/atlas.py _union_rows: per-process jit calls with local inputs are
+    # undefined SPMD once params span hosts).
+    from atlas_tpu.eval.loop import evaluate
+    from atlas_tpu.train.loop import train as train_loop
+
+    mesh10 = make_mesh(4, 2)
+    set_global_mesh(mesh10)
+    cfg10 = AtlasConfig(
+        task="qa", text_maxlength=32, target_maxlength=16, n_context=2,
+        retriever_n_context=2, precision="fp32", dropout=0.0, tiny_model=True,
+        train_retriever=True, shard_optim=True,
+        total_steps=3, warmup_steps=1, lr=1e-3, lr_retriever=1e-3,
+        scheduler="fixed", per_gpu_batch_size=1, log_freq=100, eval_freq=1000,
+        save_freq=1000, shuffle=False, refresh_index="-1",
+        checkpoint_dir=tmp, name="mp10", generation_max_length=8, seed=3)
+    cfg10.is_main = pid == 0
+    cfg10.is_distributed, cfg10.global_rank, cfg10.world_size = True, pid, 2
+    atlas10, _ = init_atlas_model(cfg10)  # same seed -> same init on both ranks
+    atlas10.set_mesh(mesh10)
+    passages10 = [{"id": str(i), "title": f"t{i}", "text": f"passage about item {i}"}
+                  for i in range(16)]
+    index10 = DistributedIndex(mesh=mesh10, dtype=jnp.float32)
+    index10.init_embeddings(passages10, dim=atlas10.retriever_cfg.hidden_size)
+    atlas10.build_index(index10, passages10, embedder_batch_size=8)
+    data10 = os.path.join(tmp, f"mp10_{pid}.jsonl")  # same content per rank; the
+    # task iterator mod-shards rows: rank p trains on examples p, p+2
+    with open(data10, "w") as f:
+        for i in range(4):
+            f.write(json.dumps({"question": f"what is item {i}?",
+                                "answers": [f"thing {i}"]}) + "\n")
+    cfg10.train_data = [data10]
+    atlas10, state10, step10 = train_loop(atlas10, index10, passages10, 0, cfg10,
+                                          os.path.join(tmp, "mp10"))
+    assert step10 == 3
+    assert any("mp" in str(getattr(l.sharding, "spec", ""))
+               for l in jax.tree.leaves(state10.params["reader"])), "TP not engaged"
+
+    # loss probe on the canonical global batch: rank p contributes probe rows
+    # [p, p+2], so the assembled global row order is [0, 2, 1, 3] — the parent
+    # runs the single-process config on exactly that order
+    probe_q = [f"probe question {i}? answer: <extra_id_0>" for i in range(4)]
+    probe_t = [f"<extra_id_0> thing {i}" for i in range(4)]
+    q_loc = [probe_q[pid], probe_q[pid + 2]]
+    t_loc = [probe_t[pid], probe_t[pid + 2]]
+    batch10, _ = atlas10.make_batch(index10, query=q_loc, target=t_loc, training=False)
+    loss10, _ = atlas10.loss_fn(state10.params, batch10, None,
+                                train_retriever=True, training=False)
+    loss10 = float(loss10)
+
+    # generation with multi-host TP-sharded params: both ranks enter the union
+    # protocol with DIFFERENT local queries and get their own rows back
+    rt10, _ = atlas10.tokenize_passages(
+        q_loc, [[passages10[0], passages10[1]] for _ in q_loc])
+    gen10 = atlas10.generate(rt10, q_loc)
+    assert gen10.shape == (2, cfg10.generation_max_length), gen10.shape
+    assert (gen10[:, 0] == atlas10.reader_cfg.decoder_start_token_id).all()
+
+    # the production eval loop end-to-end under mp>1 (retrieve -> generate ->
+    # cross-host metric reduction); ranks see different examples, same metric out
+    em10 = evaluate(atlas10, index10, cfg10, data10, step10)["exact_match"]
+
+    if pid == 0:
+        with open(os.path.join(tmp, "mp10_result.json"), "w") as f:
+            json.dump({"loss": loss10, "exact_match": float(em10),
+                       "gen_rank0": np.asarray(gen10).tolist()}, f)
 
     print(f"WORKER{pid} OK", flush=True)
 

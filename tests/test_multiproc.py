@@ -41,7 +41,10 @@ def test_two_process_integration(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=1800)
+            # step 10 adds a production train() + eval + generate (several
+            # fresh XLA compiles); under full-suite CPU contention the workers
+            # have exceeded 1800s while healthy
+            out, _ = p.communicate(timeout=3000)
             outs.append(out)
     finally:
         for p in procs:
@@ -57,3 +60,65 @@ def test_two_process_integration(tmp_path):
             f"worker {pid} rc={p.returncode} (full log: /tmp/multiproc_worker{pid}.log)"
             f"\n{out[-4000:]}")
         assert f"WORKER{pid} OK" in out, out[-2000:]
+
+    _assert_single_process_parity(tmp_path)
+
+
+def _assert_single_process_parity(tmp_path):
+    """Step 10 parity: rerun the workers' dp=4 x mp=2 production train() in THIS
+    single process with the same global config — same data in the workers'
+    assembled global row order, same seeds — and require the final-params loss
+    probe to match the 2-process value (reduction-order noise only)."""
+    import json
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from atlas_tpu.config import AtlasConfig
+    from atlas_tpu.index.flat import DistributedIndex
+    from atlas_tpu.model_io import init_atlas_model
+    from atlas_tpu.parallel.mesh import make_mesh, set_global_mesh
+    from atlas_tpu.train.loop import train as train_loop
+
+    with open(tmp_path / "mp10_result.json") as f:
+        got = json.load(f)
+
+    mesh = make_mesh(4, 2)
+    set_global_mesh(mesh)
+    cfg = AtlasConfig(
+        task="qa", text_maxlength=32, target_maxlength=16, n_context=2,
+        retriever_n_context=2, precision="fp32", dropout=0.0, tiny_model=True,
+        train_retriever=True, shard_optim=True,
+        total_steps=3, warmup_steps=1, lr=1e-3, lr_retriever=1e-3,
+        scheduler="fixed", per_gpu_batch_size=1, log_freq=100, eval_freq=1000,
+        save_freq=1000, shuffle=False, refresh_index="-1",
+        checkpoint_dir=str(tmp_path), name="mp10_single",
+        generation_max_length=8, seed=3)
+    atlas, _ = init_atlas_model(cfg)
+    atlas.set_mesh(mesh)
+    passages = [{"id": str(i), "title": f"t{i}", "text": f"passage about item {i}"}
+                for i in range(16)]
+    index = DistributedIndex(mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=atlas.retriever_cfg.hidden_size)
+    atlas.build_index(index, passages, embedder_batch_size=8)
+    # workers' global batch rows are [0, 2, 1, 3] (rank p mod-shards p, p+2)
+    data = tmp_path / "mp10_single.jsonl"
+    with open(data, "w") as f:
+        for i in (0, 2, 1, 3):
+            f.write(json.dumps({"question": f"what is item {i}?",
+                                "answers": [f"thing {i}"]}) + "\n")
+    cfg.train_data = [str(data)]
+    atlas, state, step = train_loop(atlas, index, passages, 0, cfg,
+                                    str(tmp_path / "mp10_single"))
+    assert step == 3
+    probe_q = [f"probe question {i}? answer: <extra_id_0>" for i in range(4)]
+    probe_t = [f"<extra_id_0> thing {i}" for i in range(4)]
+    order = [0, 2, 1, 3]
+    batch, _ = atlas.make_batch(index, query=[probe_q[i] for i in order],
+                                target=[probe_t[i] for i in order], training=False)
+    loss, _ = atlas.loss_fn(state.params, batch, None,
+                            train_retriever=True, training=False)
+    np.testing.assert_allclose(got["loss"], float(loss), rtol=2e-4), (
+        got["loss"], float(loss))
+    assert np.array(got["gen_rank0"]).shape == (2, cfg.generation_max_length)
