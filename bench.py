@@ -152,23 +152,30 @@ def bench_sq8_mips_b128():
     one mandatory 768MB read over 2x the queries in a single kernel call
     (B_MAX=128). vs_baseline scales the faiss anchor linearly to B=128 (6000 *
     2) — generous to faiss, whose own batch scaling is sublinear past its
-    bandwidth roof."""
+    bandwidth roof. Recall is measured on a FIXED 512-query eval set (VERDICT
+    r03 weak 4: a single 128-query sample put 0.9797 on the headline — chip
+    split-recall showed pure query-sample variance, rows 0-63 bit-identical
+    to the B=64 call at 0.994)."""
+    from atlas_tpu.ops.mips import mips_topk
     from atlas_tpu.ops.pallas_mips import mips_topk_pallas_sq8, sq8_blocks
 
-    B = 128
+    B, NQ = 128, 512
     codes = jax.random.randint(jax.random.PRNGKey(5), (N_PASSAGES, DIM), 0, 256, jnp.uint8)
     blocks = jax.jit(sq8_blocks)(codes)
-    q = jax.random.normal(jax.random.PRNGKey(6), (B, DIM), dtype=jnp.bfloat16)
+    queries = jax.random.normal(jax.random.PRNGKey(6), (NQ, DIM), dtype=jnp.bfloat16)
+    q = queries[:B]
     search = jax.jit(lambda q, c: mips_topk_pallas_sq8(
         q, c, TOPK, n_valid=jnp.int32(N_PASSAGES), interpret=False))
     _force(search(q, blocks)[0])
     dt = _timed(search, 30, q, blocks)
     qps = B / dt
-    from atlas_tpu.ops.mips import mips_topk
-
     exact = jax.jit(lambda q, c: mips_topk(q, c.astype(jnp.bfloat16), TOPK,
                                            chunk=1_048_576, recall_target=1.0))
-    rec = _recall(search(q, blocks)[1], exact(q, codes)[1])
+    got = np.concatenate([np.asarray(search(queries[s:s + B], blocks)[1])
+                          for s in range(0, NQ, B)])
+    want = np.concatenate([np.asarray(exact(queries[s:s + B], codes)[1])
+                           for s in range(0, NQ, B)])
+    rec = _recall(got, want)
     del codes
     return {"metric": "sq8_mips_qps_per_chip_1Mx768_k100_b128", "value": round(qps, 1),
             "unit": "queries/s",
