@@ -52,6 +52,7 @@ class DistributedApproxIndex(DistributedIndex):
         # role) — near-exact recall at half the bf16 bytes, served sparsely
         self.sq_bits = 4 if index_type == "ivfsq" else 8
         self.adc_impl = "auto"  # "auto" | "pallas" (ops.pq_adc kernel) | "xla"
+        self.use_opq = True  # OPQ rotation before PQ (faiss OPQMatrix role)
         self.sq8_impl = "auto"  # "auto" | "pallas" (ops.pallas_mips byte stream) | "xla"
         self.scan_chunk = 131072  # rows per lax.scan step in the masked scan
         # IVF probing: 0 = reference default nprobe = nlist = floor(sqrt(N))
@@ -143,7 +144,16 @@ class DistributedApproxIndex(DistributedIndex):
                 sample = sample - cents[jnp.argmax(s, axis=1)]
         if self.uses_pq:
             M = self.code_size or 64
-            quant["codebooks"] = Q.pq_train(jax.random.fold_in(key, 1), sample, M)
+            if self.use_opq:
+                # OPQ (Ge et al. 2013): orthogonal rotation aligning PQ
+                # subspaces with the (residual) principal directions — recovers
+                # most of the quantization loss on low-intrinsic-dim embedding
+                # data; one extra (d, d) matmul per encode/search. faiss ships
+                # it as OPQMatrix; the reference's bare IndexIVFPQ does not.
+                R, cb = Q.opq_train(jax.random.fold_in(key, 1), sample, M)
+                quant["opq_rot"], quant["codebooks"] = R, cb
+            else:
+                quant["codebooks"] = Q.pq_train(jax.random.fold_in(key, 1), sample, M)
         if self.uses_sq:
             scale, vmin = Q.sq_train(sample, self.sq_bits)
             quant["sq_scale"], quant["sq_vmin"] = scale, vmin
@@ -180,8 +190,13 @@ class DistributedApproxIndex(DistributedIndex):
                 return emb
 
         if self.uses_pq:
-            enc = (lambda emb, *cl: Q.pq_encode(self.quant["codebooks"],
-                                                fine_input(emb, *cl)))
+            rot = self.quant.get("opq_rot")
+
+            def enc(emb, *cl):
+                fine = fine_input(emb, *cl)
+                if rot is not None:  # encode in OPQ-rotated space
+                    fine = fine.astype(jnp.float32) @ rot.T
+                return Q.pq_encode(self.quant["codebooks"], fine)
         elif self.uses_sq:
             enc = (lambda emb, *cl: Q.sq_encode(
                 fine_input(emb, *cl), self.quant["sq_scale"],
@@ -322,7 +337,9 @@ class DistributedApproxIndex(DistributedIndex):
             if uses_pq:
                 from atlas_tpu.ops.pq_adc import pq_adc_sparse_scores
 
-                s = pq_adc_sparse_scores(qf, quant["codebooks"], x_b, ids,
+                rot = quant.get("opq_rot")
+                q_pq = qf @ rot.T if rot is not None else qf  # OPQ-rotated space
+                s = pq_adc_sparse_scores(q_pq, quant["codebooks"], x_b, ids,
                                          interpret=interp)  # (B, L, R)
             else:
                 if uses_sq:
@@ -388,6 +405,14 @@ class DistributedApproxIndex(DistributedIndex):
             impl = self.adc_impl
             if impl == "auto":
                 impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            rot = quant.get("opq_rot")
+
+            def _q_pq(queries):
+                # ADC runs in OPQ-rotated space: (Rq).(Rr) == q.r, so rotating
+                # the query once replaces rotating every reconstruction
+                qf = queries.astype(jnp.float32)
+                return qf @ rot.T if rot is not None else qf
+
             if impl == "pallas":
                 from atlas_tpu.ops.pq_adc import pq_adc_scores
 
@@ -396,13 +421,15 @@ class DistributedApproxIndex(DistributedIndex):
                 def score(queries, e, c):
                     # fused decode-transposed + MXU kernel: 6.7ms/1M rows on v5e vs
                     # 517ms for the decode-and-matmul below (1.9x the flat scan)
-                    return pq_adc_scores(queries, quant["codebooks"], c, interpret=interp)
+                    return pq_adc_scores(_q_pq(queries), quant["codebooks"], c,
+                                         interpret=interp)
                 return score
 
             def score(queries, e, c):
                 rec = Q.pq_decode(quant["codebooks"], c).astype(dtype)
                 return jax.lax.dot_general(
-                    queries.astype(dtype), rec, dimension_numbers=(((1,), (1,)), ((), ())),
+                    _q_pq(queries).astype(dtype), rec,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32)
             return score
 

@@ -182,11 +182,19 @@ def test_approx_search_pq_pallas_adc(mesh):
     index.write_embeddings_rows(0, jnp.asarray(embs))
     index.train_index()
     q = jnp.asarray(embs[:4])
-    _, g1 = index.device_search(q, 5)
+    s1, g1 = index.device_search(q, 5)
     index.adc_impl = "xla"
     index._search_fn = None
-    _, g2 = index.device_search(q, 5)
-    assert np.array_equal(np.asarray(g1), np.asarray(g2))
+    s2, g2 = index.device_search(q, 5)
+    # the Pallas scorer builds its ADC tables in bf16 for the MXU while the
+    # decode-and-matmul path stays fp32 — scores agree to ~0.3%, so genuine
+    # near-ties at the top-k boundary may order differently (same contract as
+    # test_ivf_sparse_matches_masked's PQ branch)
+    g1, g2 = np.asarray(g1), np.asarray(g2)
+    for i in range(g1.shape[0]):
+        assert len(set(g1[i]) & set(g2[i])) >= g1.shape[1] - 1, (i, g1[i], g2[i])
+    np.testing.assert_allclose(np.sort(np.asarray(s1), 1), np.sort(np.asarray(s2), 1),
+                               rtol=5e-3, atol=5e-3)
 
 
 def test_approx_search_sq8_pallas(mesh):
