@@ -145,6 +145,11 @@ class AtlasConfig:
     # A smaller value engages the sparse posting-list kernel (ops/ivf_sparse.py),
     # whose cost scales with nprobe instead of the corpus size.
     ivf_nprobe: int = 0
+    # Exact re-ranking of the top (k * factor) lossy-code candidates against the
+    # resident embeddings (faiss IndexRefineFlat k_factor role — the reference
+    # never wraps its IVFPQ in a refine, so 0 = parity default; >1 recovers
+    # recall lost to PQ/SQ rate-distortion at the cost of one candidate gather).
+    index_refine_factor: int = 0
 
     # --- TPU-native additions (no reference equivalent) ---
     # Device mesh: data-parallel axis x model-parallel axis. dp_size=-1 means

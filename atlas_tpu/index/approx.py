@@ -40,7 +40,8 @@ TRAIN_SAMPLE = 65536
 
 class DistributedApproxIndex(DistributedIndex):
     def __init__(self, index_type: str = "flat", code_size: Optional[int] = None,
-                 mesh=None, dtype=jnp.bfloat16, nprobe: int = 0):
+                 mesh=None, dtype=jnp.bfloat16, nprobe: int = 0,
+                 refine_factor: int = 0):
         super().__init__(mesh=mesh, dtype=dtype)
         assert index_type in ("flat", "pq", "ivfflat", "ivfpq", "ivfsq", "sq8",
                               "ivfsq8"), index_type
@@ -67,6 +68,14 @@ class DistributedApproxIndex(DistributedIndex):
         self._sparse_fn = None  # cached jitted sparse searches, keyed by topk
         self._sq8_layout: Optional[jax.Array] = None  # (NB, D, SUB) s8 blocks
         self._sq8_fn = None  # cached jitted sq8 pallas searches, keyed by topk
+        # Exact re-ranking of the top (k * refine_factor) lossy-code candidates
+        # against the resident embeddings (faiss IndexRefineFlat k_factor role).
+        # The reference never wraps its IVFPQ in a refine (src/index.py:302-345
+        # builds bare IndexIVFPQ), so 0/1 = parity default and >1 is
+        # beyond-parity recall recovery: final recall@k becomes P(gold in the
+        # code scan's top k*factor), not P(gold in its top k).
+        self.refine_factor = refine_factor
+        self._refine_cache: Dict[Any, Any] = {}  # keyed by (k, R, n_pad, dtype)
         self.quant: Dict[str, Any] = {}  # replicated quantizer state
         self.codes: Optional[jax.Array] = None  # sharded (N_pad, M) uint8
         self.cluster_of: Optional[jax.Array] = None  # sharded (N_pad,) int32
@@ -596,10 +605,54 @@ class DistributedApproxIndex(DistributedIndex):
         )
         return jax.jit(shmapped)
 
+    def _build_refine(self, topk: int):
+        """One jitted shard_map that exactly re-scores candidate global ids against
+        the resident (row-sharded) embeddings. Each shard gathers only the
+        candidate rows it owns — R rows, not a corpus stream — scores them in
+        fp32 on the MXU, and a psum assembles the full (B, R) exact score matrix
+        on every device (each valid gid is owned by exactly one shard, so the sum
+        is a placement-oblivious union). Candidates whose code-scan score was the
+        NEG sentinel (fewer than R valid rows) stay masked out."""
+        mesh, n_pad, n_dev = self.mesh, self.n_pad, self.n_devices
+        shard_rows = n_pad // n_dev
+
+        def local_refine(queries, cvals, cgids, emb_shard):
+            dev = jax.lax.axis_index("dp") * jax.lax.axis_size("mp") + jax.lax.axis_index("mp")
+            lidx = cgids - dev * shard_rows  # (B, R) local row of each candidate
+            mine = (lidx >= 0) & (lidx < shard_rows)
+            rows = emb_shard[jnp.clip(lidx, 0, shard_rows - 1)]  # (B, R, D) gather
+            s = jnp.einsum("bd,brd->br", queries.astype(jnp.float32),
+                           rows.astype(jnp.float32))
+            s = jnp.where(mine, s, 0.0)
+            s = jax.lax.psum(s, ("dp", "mp"))
+            s = jnp.where(cvals > NEG / 2, s, NEG)
+            mvals, mpos = jax.lax.top_k(s, topk)
+            mgids = jnp.take_along_axis(cgids, mpos, axis=1)
+            return mvals, mgids
+
+        shmapped = jax.shard_map(
+            local_refine, mesh=mesh,
+            in_specs=(P(), P(), P(), P(("dp", "mp"), None)),
+            out_specs=(P(), P()), check_vma=False,
+        )
+        return jax.jit(shmapped)
+
     def device_search(self, queries: jax.Array, topk: int) -> Tuple[jax.Array, jax.Array]:
         if self.index_type == "flat":
             return super().device_search(queries, topk)
         assert self.is_index_trained(), "The index has not been trained."
+        if self.refine_factor > 1:
+            cand_k = min(topk * self.refine_factor, self.n_pad)
+            cvals, cgids = self._code_search(queries, cand_k)
+            key = (topk, cand_k, self.n_pad, str(self.embeddings.dtype))
+            fn = self._refine_cache.get(key)
+            if fn is None:
+                fn = self._refine_cache[key] = self._build_refine(topk)
+            return fn(queries, cvals, cgids, self.embeddings)
+        return self._code_search(queries, topk)
+
+    def _code_search(self, queries: jax.Array, topk: int) -> Tuple[jax.Array, jax.Array]:
+        """Top-k over the LOSSY codes (the pre-refine ranking)."""
         if self._sparse_engaged():
             if self._ivf_layout is None:
                 self._build_ivf_layout()

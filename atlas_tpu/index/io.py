@@ -61,6 +61,7 @@ def load_or_initialize_index(cfg, mesh=None, dim: int = 768):
         index = DistributedApproxIndex(
             cfg.faiss_index_type, cfg.faiss_code_size, mesh=mesh,
             nprobe=getattr(cfg, "ivf_nprobe", 0),
+            refine_factor=getattr(cfg, "index_refine_factor", 0),
         )
     else:
         raise ValueError(f"unsupported index mode {cfg.index_mode}")

@@ -320,3 +320,42 @@ def test_masked_scan_nondivisible_chunk(mesh):
     # nprobe == nlist (reference default) -> the masked scan is an exact sweep
     for i in range(len(q)):
         assert set(gids[i]) == set(exact[i]), (i, sorted(gids[i]), sorted(exact[i]))
+
+
+def test_refine_recovers_recall(mesh):
+    """Exact-refine stage (faiss IndexRefineFlat k_factor role; the reference
+    builds bare IndexIVFPQ, src/index.py:302-345 — refine is beyond-parity).
+
+    refine_factor=R re-scores the code scan's top k*R candidates against the
+    resident embeddings, so final recall@k becomes P(gold in code top k*R):
+    (a) recall must rise vs the bare code scan, (b) the returned scores must BE
+    the exact fp32 inner products of the returned rows, (c) composition with
+    the sparse IVF path must hold."""
+    embs, passages = _corpus()
+    index = DistributedApproxIndex("pq", 8, mesh=mesh, dtype=jnp.float32)
+    index.init_embeddings(passages, dim=32)
+    index.write_embeddings_rows(0, jnp.asarray(embs))
+    index.train_index()
+    r_bare = _recall(index, embs)
+    index.refine_factor = 8
+    r_ref = _recall(index, embs)
+    assert r_ref >= r_bare, (r_bare, r_ref)
+    assert r_ref >= 0.9, (r_bare, r_ref)
+
+    q = embs[:4]
+    vals, gids = index.device_search(jnp.asarray(q), 10)
+    vals, gids = np.asarray(vals), np.asarray(gids)
+    exact = np.take_along_axis(q @ embs.T, gids, axis=1)
+    np.testing.assert_allclose(vals, exact, rtol=2e-3, atol=2e-3)
+    assert (np.diff(vals, axis=1) <= 1e-6).all()  # descending
+
+    # sparse IVF composition: refined sparse search beats the bare sparse scan
+    sp = DistributedApproxIndex("ivfpq", 8, mesh=mesh, dtype=jnp.float32, nprobe=12)
+    sp.init_embeddings(passages, dim=32)
+    sp.write_embeddings_rows(0, jnp.asarray(embs))
+    sp.train_index()
+    sp.ivf_impl = "sparse"
+    r_sp_bare = _recall(sp, embs)
+    sp.refine_factor = 8
+    r_sp_ref = _recall(sp, embs)
+    assert r_sp_ref >= r_sp_bare, (r_sp_bare, r_sp_ref)
