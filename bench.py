@@ -430,6 +430,61 @@ def bench_ivfpq_sparse():
             "baseline": "masked full-corpus ADC sweep, same index/quantization"}
 
 
+def bench_ivfpq_refine():
+    """ivfpq sparse serving + the exact-refine stage (refine_factor=4): the top
+    400 ADC candidates are re-scored against the resident bf16 embeddings in
+    the same jit (per-shard gather + fp32 MXU rescore — index/approx.py
+    _build_refine). Recall@100 becomes P(gold in ADC top 400), recovering most
+    of the PQ rate-distortion loss for one ~5MB candidate gather per batch.
+    The reference builds bare IndexIVFPQ (src/index.py:302-345) — faiss's
+    IndexRefineFlat role, beyond parity. Anchor: same masked full-sweep ADC as
+    the sparse line, so vs_baseline prices refine against the faiss-default
+    serving form."""
+    from atlas_tpu.index.approx import DistributedApproxIndex
+    from atlas_tpu.parallel.mesh import make_mesh, set_global_mesh
+
+    B, M = 8, 64
+    mesh = make_mesh(1, 1)
+    set_global_mesh(mesh)
+
+    @jax.jit
+    def gen(key):  # same rank-64-residual corpus as bench_ivfpq_sparse
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        centers = jax.random.normal(k1, (1000, DIM), jnp.float32) * 2
+        asg = jax.random.randint(k2, (N_PASSAGES,), 0, 1000)
+        W = jax.random.normal(k4, (64, DIM), jnp.float32) / np.sqrt(64)
+        z = jax.random.normal(k3, (N_PASSAGES, 64), jnp.float32)
+        e = centers[asg] + 0.3 * np.sqrt(DIM / 64) * (z @ W)
+        return e / jnp.linalg.norm(e, axis=1, keepdims=True)
+
+    embs = gen(jax.random.PRNGKey(7))
+    index = DistributedApproxIndex("ivfpq", code_size=M, mesh=mesh,
+                                   dtype=jnp.bfloat16, nprobe=16)
+    index.init_embeddings([{"id": str(i)} for i in range(N_PASSAGES)], dim=DIM)
+    index.write_embeddings_rows(0, embs)
+    q = embs[:B].astype(jnp.float32)
+    from atlas_tpu.ops.mips import mips_topk
+
+    exact_ids = np.asarray(jax.jit(lambda q, e: mips_topk(
+        q, e, TOPK, chunk=1_048_576, recall_target=1.0))(q, embs)[1])
+    del embs
+    index.train_index()
+
+    index.ivf_impl = "masked"
+    dt_masked = _timed(lambda: index.device_search(q, TOPK), 20)
+    index.ivf_impl = "sparse"
+    rec_bare = _recall(index.device_search(q, TOPK)[1], exact_ids)
+    index.refine_factor = 4
+    rec = _recall(index.device_search(q, TOPK)[1], exact_ids)
+    dt = _timed(lambda: index.device_search(q, TOPK), 20)
+    qps = B / dt
+    return {"metric": "ivfpq_refine_qps_1Mx768_m64_nlist1000_nprobe16_rf4_b8",
+            "value": round(qps, 1),
+            "unit": "queries/s", "vs_baseline": round(dt_masked / dt, 2),
+            "recall": rec, "recall_bare_sparse": rec_bare,
+            "baseline": "masked full-corpus ADC sweep, same index/quantization"}
+
+
 def _fid_step_ms(attn_impl):
     import dataclasses
 
@@ -720,7 +775,8 @@ def bench_refresh():
             "baseline": "driver north star: 33M passages / 10 min / 32 chips = 1719/s/chip"}
 
 
-BENCHES = [bench_pq_adc, bench_ivfpq_sparse, bench_sq8_mips, bench_sq8_mips_b128,
+BENCHES = [bench_pq_adc, bench_ivfpq_sparse, bench_ivfpq_refine,
+           bench_sq8_mips, bench_sq8_mips_b128,
            bench_north_star_equal_memory, bench_north_star_ivfsq8,
            bench_ivf_sparse, bench_fid_train,
            bench_joint_train, bench_decode, bench_decode_large,
