@@ -99,7 +99,8 @@ def _reader_vocab_size(tokenizer) -> int:
 
 
 def load_reader(cfg: AtlasConfig) -> Tuple[Optional[T5Config], Optional[Dict], Any]:
-    reader_tokenizer = load_tokenizer(cfg.reader_model_type, style="t5")
+    reader_tokenizer = load_tokenizer(
+        cfg.reader_tokenizer_path or cfg.reader_model_type, style="t5")
     if cfg.retrieve_only:
         return None, None, reader_tokenizer
     dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
@@ -132,11 +133,20 @@ def load_reader(cfg: AtlasConfig) -> Tuple[Optional[T5Config], Optional[Dict], A
 def load_retriever(cfg: AtlasConfig, cfg_checkpoint: Optional[AtlasConfig] = None):
     if cfg.use_file_passages:
         return None, None, None
-    retriever_tokenizer = load_tokenizer(cfg.retriever_model_path, style="bert")
+    retriever_tokenizer = load_tokenizer(
+        cfg.retriever_tokenizer_path or cfg.retriever_model_path, style="bert")
     retr_cfg = bert_config_for(
         "bert-base-uncased",
         vocab_size=len(retriever_tokenizer),
         remat=cfg.use_gradient_checkpoint_retriever,
+        # --dropout applies to EVERY tower: the reference's set_dropout walks
+        # all nn.Dropout modules of the whole Atlas model (src/model_io.py:103,
+        # src/util.py:161-164), retriever included. Leaving BERT's 0.1 default
+        # here made --dropout 0 runs nondeterministic through the retriever
+        # (found via the r04 two-process parity gap: position-dependent
+        # retriever dropout masks made the loss row-order sensitive).
+        hidden_dropout_prob=cfg.dropout,
+        attention_probs_dropout_prob=cfg.dropout,
     )
     if cfg.tiny_model:
         import dataclasses

@@ -81,7 +81,12 @@ def train(
     checkpoint_path,
     opt_state_raw=None,
     max_steps: Optional[int] = None,
+    step_hook=None,
 ):
+    """step_hook, if given, is called as step_hook(step, atlas) at the very end
+    of every completed step (after the periodic save) — used by the preemption
+    drill as a deterministic rendezvous point and available for custom
+    per-step instrumentation."""
     tb_logger = init_tb_logger(os.path.join(cfg.checkpoint_dir, cfg.name), is_main=cfg.is_main)
     run_stats = WeightedAvgStats()
     task = get_task(cfg, atlas.reader_tokenizer)
@@ -139,7 +144,13 @@ def train(
             logger.warning("could not restore optimizer state: %s", e)
     state = state._replace(step=state.step + step)
     train_step = make_train_step(atlas, cfg, reader_opt, retr_opt)
-    rng = jax.random.PRNGKey(cfg.global_rank + cfg.seed)
+    # ONE key shared by every process: the train step is a single SPMD program
+    # over the global mesh, and a replicated jit argument must be equal on all
+    # processes (per-rank keys here are formally undefined once a TP-sharded
+    # activation spans hosts). Per-position dropout diversity comes from the
+    # counter-based PRNG over the GLOBAL batch inside the jit, not from
+    # per-rank seeds (the reference's per-rank torch seeding is a DDP-ism).
+    rng = jax.random.PRNGKey(cfg.seed)
 
     profile_range = None
     if cfg.profile_steps:
@@ -202,7 +213,7 @@ def train(
 
             atlas.retriever_params = state.params["retriever"]
             atlas.reader_params = state.params["reader"]
-            device_batch, _ = atlas.make_batch(
+            device_batch, retrieved_passages = atlas.make_batch(
                 index,
                 query=batch["query"],
                 target=batch["target"],
@@ -237,6 +248,14 @@ def train(
                         save_embeddings_and_index(index, cfg)
 
             jax.block_until_ready(metrics["loss/train_loss"])
+            if os.environ.get("ATLAS_DEBUG_PARITY"):
+                # parity triage (multi- vs single-process): global mean loss plus
+                # the process-local retrieved doc ids, printed per step
+                ids = ([[p.get("id") for p in row] for row in retrieved_passages]
+                       if not cfg.use_file_passages else "file")
+                print(f"PARITYDBG step={step} rank={cfg.global_rank} "
+                      f"loss={float(metrics['loss/train_loss']):.9f} ids={ids}",
+                      flush=True)
             if profile_range is not None and step == profile_range[1]:
                 jax.profiler.stop_trace()
                 logger.info("profiler trace stopped")
@@ -273,6 +292,9 @@ def train(
                 atlas.reader_params = state.params["reader"]
                 atlas.retriever_params = state.params["retriever"]
                 save_atlas_model(atlas, state.opt_state, step, cfg, checkpoint_path, f"step-{step}")
+
+            if step_hook is not None:
+                step_hook(step, atlas)
 
             if step >= total:
                 break

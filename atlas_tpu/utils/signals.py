@@ -26,7 +26,19 @@ def sig_handler(signum, frame):
         subprocess.run(["scontrol", "requeue", os.environ["SLURM_JOB_ID"]], check=False)
     else:
         logger.warning("Not the main process, no need to requeue.")
-    sys.exit(-1)
+    # Exit IMMEDIATELY and unconditionally. sys.exit raises SystemExit in
+    # whatever frame the signal interrupted — inside native/teardown frames that
+    # surfaces as a spurious traceback (or gets swallowed by a broad except and
+    # training continues past its SLURM grace period). The requeue has already
+    # been issued; flush what we can and hard-exit with the same status
+    # sys.exit(-1) would have produced (255).
+    logging.shutdown()
+    try:
+        sys.stdout.flush()
+        sys.stderr.flush()
+    except Exception:
+        pass
+    os._exit(255)
 
 
 def term_handler(signum, frame):

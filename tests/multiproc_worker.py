@@ -317,13 +317,22 @@ def main():
     cfg10.is_distributed, cfg10.global_rank, cfg10.world_size = True, pid, 2
     atlas10, _ = init_atlas_model(cfg10)  # same seed -> same init on both ranks
     atlas10.set_mesh(mesh10)
-    passages10 = [{"id": str(i), "title": f"t{i}", "text": f"passage about item {i}"}
-                  for i in range(16)]
+    # init_embeddings takes the process-LOCAL passage slab (step 1 above relies
+    # on exactly that with unequal counts) — each rank contributes a DISJOINT
+    # half so the global corpus is the same 16 rows the single-process parity
+    # run builds. Round 4 passed all 16 on both ranks, doubling the corpus:
+    # every retrieval returned duplicate copies ([11, 11] instead of [12, 14])
+    # and the trained params drifted 0.42% from the single-process run — the
+    # r04 parity failure was this test-setup mismatch, not an SPMD divergence.
+    passages10_all = [{"id": str(i), "title": f"t{i}", "text": f"passage about item {i}"}
+                      for i in range(16)]
+    passages10 = passages10_all[pid * 8:(pid + 1) * 8]
     index10 = DistributedIndex(mesh=mesh10, dtype=jnp.float32)
     index10.init_embeddings(passages10, dim=atlas10.retriever_cfg.hidden_size)
     atlas10.build_index(index10, passages10, embedder_batch_size=8)
     data10 = os.path.join(tmp, f"mp10_{pid}.jsonl")  # same content per rank; the
-    # task iterator mod-shards rows: rank p trains on examples p, p+2
+    # task iterator deals lines 1-BASED (tasks/base.py:44-45): rank 0 draws
+    # file lines 2,4 (items 1,3), rank 1 lines 1,3 (items 0,2)
     with open(data10, "w") as f:
         for i in range(4):
             f.write(json.dumps({"question": f"what is item {i}?",

@@ -8,13 +8,14 @@ resumes from `latest` and must reach a bit-identical final state.
 
 Modes (argv[1]), all sharing one tiny fixed-seed setup in argv[2]:
 - full:    train 0 -> TOTAL uninterrupted, print the param fingerprint.
-- preempt: install the production signal handlers, watch for the step-4
-  checkpoint, then deliver SIGUSR1 to ourselves; the handler must run
-  `scontrol requeue` (stub records the call) and sys.exit(-1).
+- preempt: install the production signal handlers, block at a deterministic
+  rendezvous after the step-4 checkpoint (train step_hook), then deliver
+  SIGUSR1 to ourselves; the handler must run `scontrol requeue` (stub records
+  the call) and hard-exit 255.
 - resume:  load_or_initialize from `latest`, train to TOTAL, print the
   fingerprint — must equal `full`'s bit for bit.
 - preempt_refresh / resume_refresh: same drill with an OVERLAPPED index
-  refresh in flight at the kill point (refresh_overlap=1, multi-slab corpus);
+  refresh in flight at the kill point (refresh_overlap=2, 4-slab corpus);
   the resume asserts recovery semantics: no half-applied refresh survives —
   the restart re-embeds the whole corpus with the restored retriever, so
   every passage's own text retrieves itself top-1.
@@ -49,7 +50,9 @@ def make_cfg(tmp, refresh: bool):
         # refresh scenario trains it (recovery semantics, not bit-parity)
         train_retriever=refresh,
         refresh_index="0-100000:4" if refresh else "-1",
-        refresh_overlap=1 if refresh else 0,
+        # overlap=2 spreads the 4-slab refresh over 2 train steps, so at the
+        # step-5 rendezvous the refresh is mid-flight (2 of 4 slabs applied)
+        refresh_overlap=2 if refresh else 0,
         per_gpu_embedder_batch_size=8 if refresh else 512,
         save_optimizer=True,  # adam moments must survive for bit-parity
         total_steps=TOTAL, warmup_steps=1, lr=1e-3, lr_retriever=1e-3,
@@ -114,19 +117,37 @@ def install_preemption(tmp):
     init_signal_handler()
 
 
-def watchdog(tmp):
-    """Deliver SIGUSR1 (what SLURM sends before timeout) once the step-4 save
-    is COMPLETE (`latest` flips to it after the write, model_io.py)."""
-    latest = os.path.join(tmp, "drill", "checkpoint", "latest")
+def make_rendezvous(tmp, refresh: bool):
+    """Deterministic kill point (no timing race — the round-4 drill raced a fixed
+    1s sleep against steps 5-8 and LOST on an idle box): the train loop's
+    step_hook blocks once the kill condition holds — step-4 save complete and,
+    for the refresh scenario, the overlapped refresh mid-flight — and a watchdog
+    thread delivers SIGUSR1 (what SLURM sends before timeout) the moment the
+    hook signals readiness. The signal interrupts the hook's sleep in the main
+    thread; the production handler requeues and exits. Returns the step_hook."""
+    ready = os.path.join(tmp, "ready_for_signal")
 
     def run():
-        while not (os.path.islink(latest)
-                   and os.path.realpath(latest).endswith("step-4")):
-            time.sleep(0.2)
-        time.sleep(1.0)  # let training proceed into step 5/6 (or a refresh slab)
+        while not os.path.exists(ready):
+            time.sleep(0.05)
         os.kill(os.getpid(), signal.SIGUSR1)
 
     threading.Thread(target=run, daemon=True).start()
+
+    def hook(step, atlas):
+        # step 5: the step-4 checkpoint (save_freq=2) is on disk and, in the
+        # refresh scenario, the step-4 overlapped refresh has embedded 1 of its
+        # 4 slabs — exactly the mid-rebuild state the drill must interrupt
+        if step >= 5 and (not refresh or atlas.index_refresh_in_progress):
+            with open(ready, "w") as f:
+                f.write(str(step))
+            deadline = time.time() + 300
+            while time.time() < deadline:
+                time.sleep(0.1)  # SIGUSR1 lands here; handler exits the process
+            # signal never arrived within 5 min: fall through so the drill
+            # fails loudly via NOT_PREEMPTED below
+
+    return hook
 
 
 def main():
@@ -148,8 +169,9 @@ def main():
     if mode.startswith("preempt"):
         assert step == 0, step  # fresh start
         install_preemption(tmp)
-        watchdog(tmp)
-        train(atlas, index, passages, 0, cfg, ckpt, opt_state_raw=opt_raw)
+        hook = make_rendezvous(tmp, refresh)
+        train(atlas, index, passages, 0, cfg, ckpt, opt_state_raw=opt_raw,
+              step_hook=hook)
         print("NOT_PREEMPTED", flush=True)  # the drill failed: no signal landed
         sys.exit(9)
 

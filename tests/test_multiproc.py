@@ -102,10 +102,15 @@ def _assert_single_process_parity(tmp_path):
     index = DistributedIndex(mesh=mesh, dtype=jnp.float32)
     index.init_embeddings(passages, dim=atlas.retriever_cfg.hidden_size)
     atlas.build_index(index, passages, embedder_batch_size=8)
-    # workers' global batch rows are [0, 2, 1, 3] (rank p mod-shards p, p+2)
+    # workers' global batch rows are [1, 3, 0, 2]: the data deal is 1-BASED
+    # (tasks/base.py:44-45 `dealt % world == rank`), so rank 0 draws file lines
+    # 2,4 (items 1,3) and rank 1 draws lines 1,3 (items 0,2); rank 0's local
+    # rows occupy the first dp positions. (r04's parity check assumed
+    # [0, 2, 1, 3] — with the retriever-dropout fix the loss is order-invariant
+    # at dropout=0, but the replay should still be the real order.)
     data = tmp_path / "mp10_single.jsonl"
     with open(data, "w") as f:
-        for i in (0, 2, 1, 3):
+        for i in (1, 3, 0, 2):
             f.write(json.dumps({"question": f"what is item {i}?",
                                 "answers": [f"thing {i}"]}) + "\n")
     cfg.train_data = [str(data)]
