@@ -376,8 +376,21 @@ class DistributedApproxIndex(DistributedIndex):
             gidx_all = jax.lax.all_gather(gids, ("dp", "mp"))
             vals_all = vals_all.transpose(1, 0, 2).reshape(B, n_dev * kk)
             gidx_all = gidx_all.transpose(1, 0, 2).reshape(B, n_dev * kk)
-            mvals, mpos = jax.lax.top_k(vals_all, topk)
+            # the device-union candidate pool (n_dev * kk) can be SMALLER than
+            # the requested k when refine_factor inflates it past the probed-row
+            # budget (cand_k = topk * factor vs L*R probed rows at small nprobe)
+            # — top_k with k > axis size is a trace-time error (ADVICE r04).
+            # Return a padded list instead: NEG scores / gid 0, which the refine
+            # stage and recall accounting already mask.
+            k_out = min(topk, n_dev * kk)
+            mvals, mpos = jax.lax.top_k(vals_all, k_out)
             mgids = jnp.take_along_axis(gidx_all, mpos, axis=1)
+            if k_out < topk:
+                pad = topk - k_out
+                mvals = jnp.concatenate(
+                    [mvals, jnp.full((B, pad), NEG, mvals.dtype)], axis=1)
+                mgids = jnp.concatenate(
+                    [mgids, jnp.zeros((B, pad), mgids.dtype)], axis=1)
             return mvals, mgids
 
         rowP = P(("dp", "mp"))
@@ -664,7 +677,12 @@ class DistributedApproxIndex(DistributedIndex):
             return self._sparse_fn(topk, self.nprobe())(
                 queries, lay["x"], lay["rowvalid"], lay["gid"], lay["bstart"], lay["nb"]
             )
-        if self._sq8_engaged():
+        # the sq8 Pallas kernel stages (B, n_win) winner buffers in scoped VMEM
+        # (16MB wall — CLAUDE.md sq8 notes); an enlarged candidate k from
+        # --index_refine_factor (e.g. 400-800) grows that staging past the wall
+        # at serving batch sizes, a runtime-only failure (ADVICE r04). Oversized
+        # k routes through the XLA cast-and-matmul scan fallback instead.
+        if self._sq8_engaged() and topk <= 256:
             if self._sq8_layout is None:
                 self._build_sq8_layout()
             if self._sq8_fn is None:

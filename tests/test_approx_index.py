@@ -359,3 +359,49 @@ def test_refine_recovers_recall(mesh):
     sp.refine_factor = 8
     r_sp_ref = _recall(sp, embs)
     assert r_sp_ref >= r_sp_bare, (r_sp_bare, r_sp_ref)
+
+
+def test_refine_cand_k_exceeds_sparse_pool(devices):
+    """ADVICE r04 #1: with refine_factor inflating cand_k past the sparse
+    device-union candidate pool (n_dev * min(shard_rows, L*R); here a single
+    device, nprobe=1 -> L*R = 512 < cand_k = 800), lax.top_k(pool, cand_k)
+    used to fail at trace time. The sparse builder now clamps and pads with
+    NEG/gid-0 entries, which refine masks — the search must succeed and the
+    refined scores must be exact inner products of the returned rows."""
+    embs, passages = _corpus()
+    mesh1 = make_mesh(1, 1)
+    sp = DistributedApproxIndex("ivfpq", 8, mesh=mesh1, dtype=jnp.float32, nprobe=1)
+    sp.init_embeddings(passages, dim=32)
+    sp.write_embeddings_rows(0, jnp.asarray(embs))
+    sp.train_index()
+    sp.ivf_impl = "sparse"
+    assert sp._sparse_engaged()
+    sp.refine_factor = 4
+    topk = 200  # cand_k = 800 > the one probed cluster's 512-row pool
+    vals, gids = sp.device_search(jnp.asarray(embs[:4]), topk)
+    vals, gids = np.asarray(vals), np.asarray(gids)
+    assert vals.shape == (4, topk)
+    finite = np.isfinite(vals) & (vals > -1e29)
+    assert finite[:, :10].all()  # real candidates at the top
+    exact = np.take_along_axis(embs[:4] @ embs.T, gids, axis=1)
+    np.testing.assert_allclose(vals[finite], exact[finite], rtol=2e-3, atol=2e-3)
+
+
+def test_refine_sq8_oversized_cand_k_falls_back(mesh):
+    """ADVICE r04 #2: refine over an sq8 index inflates the kernel's candidate
+    k (e.g. 300) past the Pallas winner-staging cap; the code path must route
+    through the XLA cast-and-matmul fallback (on chip the kernel would hit the
+    16MB scoped-VMEM wall at serving batch) and still produce refined exact
+    scores at high recall."""
+    embs, passages = _corpus()
+    s8 = DistributedApproxIndex("sq8", mesh=mesh, dtype=jnp.float32)
+    s8.sq8_impl = "pallas"  # force the kernel path even on CPU (interpret mode)
+    s8.init_embeddings(passages, dim=32)
+    s8.write_embeddings_rows(0, jnp.asarray(embs))
+    s8.train_index()
+    s8.refine_factor = 30  # cand_k = 300 > the 256 kernel cap -> XLA fallback
+    r_s8 = _recall(s8, embs)
+    assert r_s8 >= 0.95, r_s8
+    vals, gids = s8.device_search(jnp.asarray(embs[:4]), 10)
+    exact = np.take_along_axis(embs[:4] @ embs.T, np.asarray(gids), axis=1)
+    np.testing.assert_allclose(np.asarray(vals), exact, rtol=2e-3, atol=2e-3)
