@@ -95,6 +95,12 @@ class AtlasConfig:
 
     # --- modeling options (options.py:168-395) ---
     reader_model_type: str = "google/t5-base-lm-adapt"
+    # Local tokenizer directories overriding the tokenizer source while
+    # reader_model_type keeps selecting the architecture — lets an offline box
+    # pair real (`tokenizers`-built) HF fast tokenizers with any model size
+    # (tools/mini_nq_canary.py; "" = derive from the model name as usual).
+    reader_tokenizer_path: str = ""
+    retriever_tokenizer_path: str = ""
     text_maxlength: int = 200
     target_maxlength: Optional[int] = None
     n_context: int = 1
