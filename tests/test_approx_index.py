@@ -369,7 +369,7 @@ def test_refine_cand_k_exceeds_sparse_pool(devices):
     NEG/gid-0 entries, which refine masks — the search must succeed and the
     refined scores must be exact inner products of the returned rows."""
     embs, passages = _corpus()
-    mesh1 = make_mesh(1, 1)
+    mesh1 = make_mesh(1, 1, devices=jax.devices()[:1])
     sp = DistributedApproxIndex("ivfpq", 8, mesh=mesh1, dtype=jnp.float32, nprobe=1)
     sp.init_embeddings(passages, dim=32)
     sp.write_embeddings_rows(0, jnp.asarray(embs))
