@@ -153,9 +153,13 @@ class AtlasConfig:
     ivf_nprobe: int = 0
     # Exact re-ranking of the top (k * factor) lossy-code candidates against the
     # resident embeddings (faiss IndexRefineFlat k_factor role — the reference
-    # never wraps its IVFPQ in a refine, so 0 = parity default; >1 recovers
-    # recall lost to PQ/SQ rate-distortion at the cost of one candidate gather).
-    index_refine_factor: int = 0
+    # never wraps its IVFPQ in a refine; >1 recovers recall lost to PQ/SQ
+    # rate-distortion at the cost of one candidate gather). -1 = auto: 4 for
+    # the PQ-coded types (the r05 chip frontier measured refine-4 strictly
+    # dominant on ivfpq — recall@100 0.677 -> 0.9892 at EVERY nprobe for 3-7%
+    # QPS, tools/bench_ivfpq_frontier.py), off for near-exact codes
+    # (sq8/ivfsq8/ivfflat/ivfsq). 0/1 forces it off (bare faiss parity).
+    index_refine_factor: int = -1
 
     # --- TPU-native additions (no reference equivalent) ---
     # Device mesh: data-parallel axis x model-parallel axis. dp_size=-1 means

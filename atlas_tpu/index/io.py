@@ -58,10 +58,13 @@ def load_or_initialize_index(cfg, mesh=None, dim: int = 768):
     elif cfg.index_mode == "faiss":
         from atlas_tpu.index.approx import DistributedApproxIndex
 
+        rf = getattr(cfg, "index_refine_factor", -1)
+        if rf < 0:  # auto (config.py): refine-4 for PQ-coded types, off otherwise
+            rf = 4 if cfg.faiss_index_type in ("pq", "ivfpq") else 1
         index = DistributedApproxIndex(
             cfg.faiss_index_type, cfg.faiss_code_size, mesh=mesh,
             nprobe=getattr(cfg, "ivf_nprobe", 0),
-            refine_factor=getattr(cfg, "index_refine_factor", 0),
+            refine_factor=rf,
         )
     else:
         raise ValueError(f"unsupported index mode {cfg.index_mode}")

@@ -48,7 +48,15 @@ def _make_kernel(n_blocks: int):
         o_ref = refs[-1]
         q = q_ref[0, 0:1, :].astype(jnp.float32)  # (1, D)
         for c in range(n_blocks):
-            x = refs[c][0].astype(jnp.float32)
+            x = refs[c][0]
+            if x.dtype == jnp.uint8:
+                # Mosaic has NO unsigned->float cast lowering (raises
+                # "Unsupported cast: uint8 -> float32" at compile; interpret
+                # mode accepts it, so CPU tests can't catch this) — widen to
+                # int32 first. Hit by the ivfsq8/ivfsq sparse paths, whose
+                # blocks are raw uint8 SQ codes.
+                x = x.astype(jnp.int32)
+            x = x.astype(jnp.float32)
             # VPU multiply-reduce, not an MXU dot: the (R, D)x(D, 1) matvec is
             # DMA-bound (196KB block read per ~0.1MFLOP), and Mosaic's mixed-dtype
             # matvec lowering miscompiles (vector.broadcast bf16->f32 verifier

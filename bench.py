@@ -475,6 +475,11 @@ def bench_ivfpq_sparse():
             "value": round(qps, 1),
             "unit": "queries/s", "vs_baseline": round(dt_masked / dt, 2),
             "recall": rec,
+            # this line tracks the bare ADC-probing kernel round-over-round;
+            # its recall is PQ rate-distortion-bound (FLAT across nprobe — r05
+            # frontier) and NOT the deployable default, which is the
+            # ivfpq_refine line (nprobe=8 + refine-4, config auto default)
+            "serving_default": False,
             "baseline": "masked full-corpus ADC sweep, same index/quantization"}
 
 
@@ -487,7 +492,14 @@ def bench_ivfpq_refine():
     The reference builds bare IndexIVFPQ (src/index.py:302-345) — faiss's
     IndexRefineFlat role, beyond parity. Anchor: same masked full-sweep ADC as
     the sparse line, so vs_baseline prices refine against the faiss-default
-    serving form."""
+    serving form.
+
+    Operating point nprobe=8 + rf=4 is the measured DOMINANT point of the r05
+    chip frontier (tools/bench_ivfpq_frontier.py, nprobe {8,16,32,64} x refine
+    {off,4} in one process): bare recall is FLAT at 0.677 across all nprobe
+    (PQ rate-distortion-bound, more probing buys nothing) while refine-4 lifts
+    every point to 0.9892 — so the cheapest probe wins: 2294 QPS @ 0.9892 vs
+    1852 @ nprobe16. This is the config default (--index_refine_factor auto)."""
     from atlas_tpu.index.approx import DistributedApproxIndex
     from atlas_tpu.parallel.mesh import make_mesh, set_global_mesh
 
@@ -509,7 +521,7 @@ def bench_ivfpq_refine():
 
     embs = gen(jax.random.PRNGKey(7))
     index = DistributedApproxIndex("ivfpq", code_size=M, mesh=mesh,
-                                   dtype=jnp.bfloat16, nprobe=16)
+                                   dtype=jnp.bfloat16, nprobe=8)
     index.init_embeddings([{"id": str(i)} for i in range(NP)], dim=DIM)
     index.write_embeddings_rows(0, embs)
     q = embs[:B].astype(jnp.float32)
@@ -529,7 +541,7 @@ def bench_ivfpq_refine():
     rec = _recall(index.device_search(q, TOPK)[1], exact_ids)
     dt = _timed(lambda: index.device_search(q, TOPK), _iters(20))
     qps = B / dt
-    return {"metric": "ivfpq_refine_qps_1Mx768_m64_nlist1000_nprobe16_rf4_b8",
+    return {"metric": "ivfpq_refine_qps_1Mx768_m64_nlist1000_nprobe8_rf4_b8",
             "value": round(qps, 1),
             "unit": "queries/s", "vs_baseline": round(dt_masked / dt, 2),
             "recall": rec, "recall_bare_sparse": rec_bare,
@@ -898,10 +910,13 @@ def bench_serve_e2e():
     dt = (time.perf_counter() - t0) / iters
     qps = B / dt
 
-    # sibling: the device-search-only rate for the same queries, same process
+    # siblings: device-search-only and query-embed-only rates, same process, so
+    # the e2e line decomposes into tokenize+resolve (host) / embed / search
     enc = atlas.retriever_tokenize(q_text)
     q_emb = atlas.embed_queries_device(enc["input_ids"], enc["attention_mask"])
     dt_dev = _timed(lambda: index.device_search(q_emb, TOPK), _iters(20))
+    dt_emb = _timed(lambda: atlas.embed_queries_device(
+        enc["input_ids"], enc["attention_mask"]), _iters(20))
     # recall: served ids vs exact scan of the same corpus for the same queries
     exact_ids = jax.jit(lambda q, e: mips_topk(
         q.astype(jnp.bfloat16), e, TOPK, chunk=1_048_576, recall_target=1.0)
@@ -913,7 +928,8 @@ def bench_serve_e2e():
             "vs_baseline": round(qps / FAISS_V100_BASELINE_QPS, 2),
             "recall": rec,
             "qps_device_search_only": round(B / dt_dev, 1),
-            "host_overhead_ms_per_batch": round((dt - dt_dev) * 1e3, 2),
+            "embed_ms_per_batch": round(dt_emb * 1e3, 2),
+            "host_overhead_ms_per_batch": round((dt - dt_dev - dt_emb) * 1e3, 2),
             "baseline": "faiss-V100 flat anchor (reference search timing also "
                         "includes host doc resolution)"}
 
