@@ -17,6 +17,7 @@ from __future__ import annotations
 import functools
 import logging
 import math
+import threading
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
@@ -36,6 +37,19 @@ logger = logging.getLogger(__name__)
 
 IGNORE_INDEX = -100
 BERT_MAX_SEQ_LENGTH = 512
+
+
+def _tok_locked(fn):
+    """Serialize HF fast-tokenizer use across the host-prefetch worker thread
+    and the main thread (rust tokenizers panic "Already borrowed" when two
+    threads enter one tokenizer)."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        with self._tok_lock:
+            return fn(self, *args, **kwargs)
+
+    return wrapper
 
 
 def _dtype_of(precision: str):
@@ -60,6 +74,13 @@ class Atlas:
         self.retriever_params = retriever_params
         self.reader_tokenizer = reader_tokenizer
         self.retriever_tokenizer = retriever_tokenizer
+        # HF fast tokenizers are NOT thread-safe (rust "Already borrowed" panic
+        # under concurrent use); the host-prefetch worker thread tokenizes the
+        # NEXT batch while the main thread tokenizes retrieved passages, so all
+        # tokenizer touches serialize on this lock. ByteTokenizer never hits
+        # it, which is why only real-tokenizer runs (mini_nq_canary) exposed
+        # the race. RLock: tokenize_passages nests retriever calls.
+        self._tok_lock = threading.RLock()
         self.compute_dtype = _dtype_of(cfg.precision)
         self.mesh = None  # set by the entry points; enables dp batch sharding
 
@@ -166,6 +187,7 @@ class Atlas:
     def _retr_maxlen(self) -> int:
         return min(self.cfg.text_maxlength, BERT_MAX_SEQ_LENGTH)
 
+    @_tok_locked
     def retriever_tokenize(self, queries: Sequence[str]) -> Optional[Dict[str, np.ndarray]]:
         if self.retriever_tokenizer is None:
             return None
@@ -174,6 +196,7 @@ class Atlas:
             truncation=True, return_tensors="np",
         )
 
+    @_tok_locked
     def reader_tokenize(self, query, target, target_tokens=None):
         """-> (labels (B,T), decoder_input_ids (B,T)) np arrays (atlas.py:201-247)."""
         cfg = self.cfg
@@ -205,6 +228,7 @@ class Atlas:
             labels = np.where(qm[:, : ids.shape[-1]].astype(bool), IGNORE_INDEX, labels)
         return labels, decoder_input_ids
 
+    @_tok_locked
     def tokenize(self, query, target, target_tokens=None):
         if query is None and target is None:
             return None, None, None
@@ -258,6 +282,7 @@ class Atlas:
 
     LENGTH_BUCKETS = LENGTH_BUCKETS  # shared ladder (utils/buckets.py)
 
+    @_tok_locked
     def tokenize_passages(self, query, passages, sync_buckets: bool = False):
         """-> (reader_tok (B,N,L), retriever_tok (B,N,Lr)) (atlas.py:261-280).
 
@@ -410,6 +435,7 @@ class Atlas:
 
     # ------------------------------------------------------------------- forward
 
+    @_tok_locked
     def pretokenize(self, query, target, target_tokens=None):
         """The retrieval-INDEPENDENT host half of make_batch: query/target
         tokenization. Depends only on raw text + tokenizers (no params, no index),

@@ -87,11 +87,17 @@ def retriever_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def atlas_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    # keys present in `params` must stay present in the spec tree even when
+    # the tower is absent (closed_book / retrieve_only carry None): jax.tree
+    # treats None as an empty subtree, but a MISSING dict key is a structure
+    # mismatch that fails tree_map(params, shardings) at train() start.
     out: Dict[str, Any] = {}
-    if params.get("reader") is not None:
-        out["reader"] = t5_param_specs(params["reader"])
-    if params.get("retriever") is not None:
-        out["retriever"] = retriever_param_specs(params["retriever"])
+    if "reader" in params:
+        out["reader"] = (t5_param_specs(params["reader"])
+                         if params["reader"] is not None else None)
+    if "retriever" in params:
+        out["retriever"] = (retriever_param_specs(params["retriever"])
+                            if params["retriever"] is not None else None)
     return out
 
 

@@ -178,7 +178,7 @@ def train(
             if not cfg.use_file_passages and index_refresh_scheduler.is_time_to_refresh(step):
                 if not (step == 0 and cfg.load_index_path is not None):
                     # refresh uses the CURRENT retriever params
-                    atlas.retriever_params = state.params["retriever"]
+                    atlas.retriever_params = state.params.get("retriever")
                     if cfg.refresh_overlap > 0:
                         # overlapped refresh: snapshot params now, embed a few
                         # slabs per train step instead of stalling every rank for
@@ -211,7 +211,7 @@ def train(
                 logger.info("profiler trace started -> %s", trace_dir)
             train_step_start = time.time()
 
-            atlas.retriever_params = state.params["retriever"]
+            atlas.retriever_params = state.params.get("retriever")
             atlas.reader_params = state.params["reader"]
             device_batch, retrieved_passages = atlas.make_batch(
                 index,
@@ -277,7 +277,7 @@ def train(
 
             if step % cfg.eval_freq == 0:
                 atlas.reader_params = state.params["reader"]
-                atlas.retriever_params = state.params["retriever"]
+                atlas.retriever_params = state.params.get("retriever")
                 for data_path in cfg.eval_data:
                     dataset_name = os.path.basename(data_path)
                     metrics_eval = evaluate(atlas, index, cfg, data_path, step)
@@ -290,7 +290,7 @@ def train(
 
             if step % cfg.save_freq == 0:
                 atlas.reader_params = state.params["reader"]
-                atlas.retriever_params = state.params["retriever"]
+                atlas.retriever_params = state.params.get("retriever")
                 save_atlas_model(atlas, state.opt_state, step, cfg, checkpoint_path, f"step-{step}")
 
             if step_hook is not None:
@@ -315,5 +315,5 @@ def train(
         if cfg.save_index_path is not None:
             save_embeddings_and_index(index, cfg)
     atlas.reader_params = state.params["reader"]
-    atlas.retriever_params = state.params["retriever"]
+    atlas.retriever_params = state.params.get("retriever")
     return atlas, state, step

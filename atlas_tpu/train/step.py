@@ -131,7 +131,11 @@ def make_train_step(
         new_params, new_opt = {}, {}
         for tower, opt in (("reader", reader_opt), ("retriever", retr_opt)):
             if tower not in opt_state or params.get(tower) is None:
-                if params.get(tower) is not None:
+                if tower in params:
+                    # keep the key even when the tower is absent (None):
+                    # dropping it changes the state's tree STRUCTURE after the
+                    # first step and closed_book runs then KeyError in the
+                    # train loop's params[\"retriever\"] refresh
                     new_params[tower] = params[tower]
                 continue
             updates, opt_s = opt.update(grads[tower], opt_state[tower], params[tower])

@@ -6,7 +6,7 @@ published EM" (reference README.md:176, example_scripts/nq/train.sh). Real NQ
 data and pretrained weights are unreachable offline, so this is the closest
 executable analog: a compositional fact world where
 
-  - each ENTITY has one corpus passage listing the values of its attributes,
+  - each (entity, attribute) fact is one corpus passage,
   - train QAs cover a subset of (entity, attribute) pairs,
   - EVAL QAs are HELD-OUT pairs: a closed-book reader structurally cannot know
     them (the values appear only in the corpus), while the retrieval-augmented
@@ -50,23 +50,32 @@ VALUES = {
 
 
 def build_world(n_entities=96, seed=0):
+    """One fact per passage: query and gold passage share the (attr, entity)
+    bigram, so retrieval is lexically learnable by a from-scratch tower, and
+    the reader's job is copy-the-last-word — the minimal composition the real
+    NQ recipe exercises (retrieve -> extract). EM chance floors: closed-book
+    can reach ~1/8 (guess the modal value of the asked attribute: values only
+    exist in the corpus); open must CLEARLY beat that via retrieval."""
     r = random.Random(seed)
     entities = [f"object{i:03d}" for i in range(n_entities)]
     facts = {e: {a: r.choice(VALUES[a]) for a in ATTRS} for e in entities}
-    passages = []
-    for i, e in enumerate(entities):
-        body = " . ".join(f"the {a} of {e} is {facts[e][a]}" for a in ATTRS)
-        passages.append({"id": str(i), "title": e, "text": body + " ."})
     pairs = [(e, a) for e in entities for a in ATTRS]
-    r.shuffle(pairs)
-    n_eval = max(32, len(pairs) // 10)
-    eval_pairs, train_pairs = pairs[:n_eval], pairs[n_eval:]
+    passages = []
+    gold_row = {}
+    for i, (e, a) in enumerate(pairs):
+        passages.append({"id": str(i), "title": f"{e} {a}",
+                         "text": f"the {a} of {e} is {facts[e][a]} ."})
+        gold_row[(e, a)] = i
+    shuffled = pairs[:]
+    r.shuffle(shuffled)
+    n_eval = max(32, len(shuffled) // 10)
+    eval_pairs, train_pairs = shuffled[:n_eval], shuffled[n_eval:]
 
     def qa(e, a):
         return {"question": f"what is the {a} of {e}?", "answers": [facts[e][a]]}
 
     return (passages, [qa(e, a) for (e, a) in train_pairs],
-            [qa(e, a) for (e, a) in eval_pairs], entities)
+            [qa(e, a) for (e, a) in eval_pairs], gold_row)
 
 
 def build_tokenizers(tmp, texts):
@@ -104,7 +113,7 @@ def build_tokenizers(tmp, texts):
 
 
 def run_train(tmp, name, steps, t5_dir, bert_dir, cpu, closed_book=False,
-              refresh_every=0):
+              refresh_every=0, per_gpu_batch_size=None):
     env = dict(os.environ, PYTHONPATH=REPO if cpu
                else f"{REPO}:{os.path.expanduser('~')}/.axon_site")
     if cpu:
@@ -117,7 +126,8 @@ def run_train(tmp, name, steps, t5_dir, bert_dir, cpu, closed_book=False,
         "--eval_data", os.path.join(tmp, "eval.jsonl"),
         "--passages", os.path.join(tmp, "passages.jsonl"),
         "--task", "qa", "--total_steps", str(steps),
-        "--per_gpu_batch_size", "1", "--n_context", "4", "--retriever_n_context", "4",
+        "--per_gpu_batch_size", str(per_gpu_batch_size or (1 if cpu else 8)),
+        "--n_context", "4", "--retriever_n_context", "4",
         "--text_maxlength", "64", "--target_maxlength", "8",
         "--generation_max_length", "8", "--warmup_steps", "4",
         "--lr", "3e-3", "--lr_retriever", "1e-3", "--scheduler", "fixed",
@@ -140,7 +150,7 @@ def run_train(tmp, name, steps, t5_dir, bert_dir, cpu, closed_book=False,
     return losses, ems, out
 
 
-def retriever_recall(tmp, name, t5_dir, bert_dir, entities, cpu, trained):
+def retriever_recall(tmp, name, t5_dir, bert_dir, gold_row, cpu, trained):
     """Standalone recall@1: does the (trained|random-init) retriever alone rank
     the gold entity passage first for held-out questions?"""
     import numpy as np
@@ -188,21 +198,30 @@ def retriever_recall(tmp, name, t5_dir, bert_dir, entities, cpu, trained):
     qemb = np.asarray(atlas.embed_queries_device(qenc["input_ids"],
                                                  qenc["attention_mask"]))
     top1 = (qemb @ pemb.T).argmax(axis=1)
-    ent_of = {e: i for i, e in enumerate(entities)}
-    gold = np.array([ent_of[q.split(" of ")[1].rstrip("?").strip()] for q in qs])
+
+    def parse(q):  # "what is the {attr} of {entity}?"
+        attr = q.split("what is the ")[1].split(" of ")[0]
+        ent = q.split(" of ")[1].rstrip("?").strip()
+        return ent, attr
+
+    gold = np.array([gold_row[parse(q)] for q in qs])
     return float((top1 == gold).mean())
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--steps", type=int, default=400)
-    ap.add_argument("--refresh_every", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--refresh_every", type=int, default=150)
+    # GLOBAL batch ~8: per-device batch is multiplied by local dp rows, so the
+    # 8-device CPU mesh uses 1/device while the single-chip run uses 8
+    ap.add_argument("--per_gpu_batch_size", type=int, default=None)
     ap.add_argument("--tmp", default=None)
     args = ap.parse_args()
 
     tmp = args.tmp or tempfile.mkdtemp(prefix="mini_nq_")
-    passages, train_qa, eval_qa, entities = build_world()
+    os.makedirs(tmp, exist_ok=True)
+    passages, train_qa, eval_qa, gold_row = build_world()
     with open(os.path.join(tmp, "passages.jsonl"), "w") as f:
         for p in passages:
             f.write(json.dumps(p) + "\n")
@@ -218,12 +237,14 @@ def main():
     t5_dir, bert_dir = build_tokenizers(tmp, texts)
 
     losses, ems, _ = run_train(tmp, "open", args.steps, t5_dir, bert_dir,
-                               args.cpu, refresh_every=args.refresh_every)
+                               args.cpu, refresh_every=args.refresh_every,
+                               per_gpu_batch_size=args.per_gpu_batch_size)
     losses_cb, ems_cb, _ = run_train(tmp, "closed", args.steps, t5_dir, bert_dir,
-                                     args.cpu, closed_book=True)
-    rec_after = retriever_recall(tmp, "open", t5_dir, bert_dir, entities,
+                                     args.cpu, closed_book=True,
+                                     per_gpu_batch_size=args.per_gpu_batch_size)
+    rec_after = retriever_recall(tmp, "open", t5_dir, bert_dir, gold_row,
                                  args.cpu, trained=True)
-    rec_before = retriever_recall(tmp, "open", t5_dir, bert_dir, entities,
+    rec_before = retriever_recall(tmp, "open", t5_dir, bert_dir, gold_row,
                                   args.cpu, trained=False)
 
     result = {
