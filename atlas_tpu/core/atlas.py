@@ -52,6 +52,36 @@ def _tok_locked(fn):
     return wrapper
 
 
+class _LockedTokenizer:
+    """Thread-safe facade over an HF fast tokenizer: the rust core is NOT
+    reentrant across threads ("Already borrowed" panic), and tokenizer calls
+    happen from the train loop's pretokenize worker, the refresh embedder's
+    slab worker, and the main thread. Wrapping the OBJECT (not just Atlas
+    methods) covers every call site, including code that holds a direct
+    reference like index/refresh.py. Non-callable attributes (pad_token_id,
+    eos_token, ...) pass through unlocked — they're plain python."""
+
+    def __init__(self, tok, lock):
+        self._tok, self._lock = tok, lock
+
+    def __call__(self, *args, **kwargs):
+        with self._lock:
+            return self._tok(*args, **kwargs)
+
+    def __len__(self):
+        return len(self._tok)
+
+    def __getattr__(self, name):
+        attr = getattr(self._tok, name)
+        if callable(attr):
+            def locked(*args, **kwargs):
+                with self._lock:
+                    return attr(*args, **kwargs)
+
+            return locked
+        return attr
+
+
 def _dtype_of(precision: str):
     return {"bf16": jnp.bfloat16, "fp16": jnp.float16, "fp32": jnp.float32}[precision]
 
@@ -72,15 +102,20 @@ class Atlas:
         self.reader_params = reader_params
         self.retriever_cfg = retriever_cfg
         self.retriever_params = retriever_params
-        self.reader_tokenizer = reader_tokenizer
-        self.retriever_tokenizer = retriever_tokenizer
         # HF fast tokenizers are NOT thread-safe (rust "Already borrowed" panic
         # under concurrent use); the host-prefetch worker thread tokenizes the
-        # NEXT batch while the main thread tokenizes retrieved passages, so all
-        # tokenizer touches serialize on this lock. ByteTokenizer never hits
-        # it, which is why only real-tokenizer runs (mini_nq_canary) exposed
-        # the race. RLock: tokenize_passages nests retriever calls.
+        # NEXT batch while the main thread tokenizes retrieved passages (and
+        # the refresh embedder tokenizes slabs on its own worker), so BOTH
+        # tokenizer objects are wrapped to serialize on one lock. ByteTokenizer
+        # never hits it, which is why only real-tokenizer runs (mini_nq_canary)
+        # exposed the race. RLock: tokenize_passages nests retriever calls.
         self._tok_lock = threading.RLock()
+        self.reader_tokenizer = (
+            _LockedTokenizer(reader_tokenizer, self._tok_lock)
+            if reader_tokenizer is not None else None)
+        self.retriever_tokenizer = (
+            _LockedTokenizer(retriever_tokenizer, self._tok_lock)
+            if retriever_tokenizer is not None else None)
         self.compute_dtype = _dtype_of(cfg.precision)
         self.mesh = None  # set by the entry points; enables dp batch sharding
 
