@@ -101,6 +101,10 @@ class AtlasConfig:
     # (tools/mini_nq_canary.py; "" = derive from the model name as usual).
     reader_tokenizer_path: str = ""
     retriever_tokenizer_path: str = ""
+    # Width of the --tiny_model debug towers (d_model / hidden_size; d_kv,
+    # d_ff, intermediate scale with it). 32 suffices for plumbing tests; the
+    # mini-NQ canary needs 64+ for the copy rule to be learnable at all.
+    tiny_model_dim: int = 32
     text_maxlength: int = 200
     target_maxlength: Optional[int] = None
     n_context: int = 1

@@ -120,9 +120,11 @@ def load_reader(cfg: AtlasConfig) -> Tuple[Optional[T5Config], Optional[Dict], A
     if cfg.tiny_model:
         import dataclasses
 
+        dim = getattr(cfg, "tiny_model_dim", 32)
         reader_cfg = dataclasses.replace(
-            reader_cfg, d_model=32, d_kv=8, d_ff=64, num_layers=2,
-            num_decoder_layers=2, num_heads=4, relative_attention_num_buckets=8,
+            reader_cfg, d_model=dim, d_kv=max(8, dim // 4), d_ff=2 * dim,
+            num_layers=2, num_decoder_layers=2, num_heads=4,
+            relative_attention_num_buckets=8,
         )
     params = _try_load_hf_t5(cfg.reader_model_type, reader_cfg)
     if params is None:
@@ -151,9 +153,10 @@ def load_retriever(cfg: AtlasConfig, cfg_checkpoint: Optional[AtlasConfig] = Non
     if cfg.tiny_model:
         import dataclasses
 
+        dim = getattr(cfg, "tiny_model_dim", 32)
         retr_cfg = dataclasses.replace(
-            retr_cfg, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
-            intermediate_size=64,
+            retr_cfg, hidden_size=dim, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=2 * dim,
         )
     untied = cfg.query_side_retriever_training or (
         cfg_checkpoint is not None and cfg_checkpoint.query_side_retriever_training

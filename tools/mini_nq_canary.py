@@ -13,12 +13,16 @@ executable analog: a compositional fact world where
     recipe answers by retrieve-and-copy — so EM(open) > EM(closed) measures the
     retrieval pathway itself, not memorization.
 
-It drives the actual CLI (`train.py`) twice — the full recipe (ppmean gold,
-retriever training, periodic index refresh, real offline-built HF fast
-tokenizers via --reader_tokenizer_path) and a --closed_book control — then
-loads the trained checkpoint and measures standalone retriever recall@1
-against the random-init retriever (distillation-teaches-retrieval at recipe
-scale; CPU-toy version: tests/test_learnability.py).
+It drives the actual CLI (`train.py`) three times — a phase-0 reader
+pretrain with gold passages provided (--use_file_passages; the reference
+recipe also starts from PRETRAINED towers — a from-scratch joint bootstrap
+never ignites, chip v3), then the full recipe from that checkpoint (ppmean
+gold, retriever training, periodic index refresh, real offline-built HF fast
+tokenizers via --reader_tokenizer_path), and a --closed_book control from the
+same checkpoint — then loads the trained checkpoint and measures standalone
+retriever recall@1 against the random-init retriever
+(distillation-teaches-retrieval at recipe scale; CPU-toy version:
+tests/test_learnability.py).
 
 Usage:
   chip: PYTHONPATH=/root/repo:/root/.axon_site python tools/mini_nq_canary.py
@@ -39,27 +43,31 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-ATTRS = ["color", "shape", "size", "sound", "taste"]
-VALUES = {
-    "color": ["red", "blue", "green", "gold", "violet", "amber", "teal", "coral"],
-    "shape": ["round", "square", "flat", "spiky", "oval", "curved", "thin", "wide"],
-    "size": ["tiny", "small", "large", "huge", "narrow", "tall", "short", "deep"],
-    "sound": ["quiet", "loud", "soft", "sharp", "low", "high", "dull", "clear"],
-    "taste": ["sweet", "sour", "salty", "bitter", "mild", "spicy", "plain", "rich"],
-}
+ATTRS = ["color", "shape", "size", "sound"]
 
 
-def build_world(n_entities=96, seed=0):
+def build_world(n_entities=32, seed=0):
     """One fact per passage: query and gold passage share the (attr, entity)
     bigram, so retrieval is lexically learnable by a from-scratch tower, and
     the reader's job is copy-the-last-word — the minimal composition the real
-    NQ recipe exercises (retrieve -> extract). EM chance floors: closed-book
-    can reach ~1/8 (guess the modal value of the asked attribute: values only
-    exist in the corpus); open must CLEARLY beat that via retrieval."""
+    NQ recipe exercises (retrieve -> extract). Values are unique per fact, so
+    the held-out closed-book chance floor is ~1/128; open must clearly beat
+    it via retrieval."""
     r = random.Random(seed)
     entities = [f"object{i:03d}" for i in range(n_entities)]
-    facts = {e: {a: r.choice(VALUES[a]) for a in ATTRS} for e in entities}
+    # UNIQUE random value per fact: memorizing the train q->a map cannot
+    # transfer to held-out pairs (the r05 chip run v2 showed a tiny reader
+    # memorizes ~550 shared-vocab answers outright — loss 0.70 — which makes
+    # ppmean gold scores retrieval-independent and collapses the retriever).
+    # With unique values, copy-from-the-gold-passage is the ONLY rule that
+    # generalizes, and gold conditional likelihoods favor the gold passage as
+    # soon as the reader learns to copy.
     pairs = [(e, a) for e in entities for a in ATTRS]
+    uniq = [f"val{i:03d}x" for i in range(len(pairs))]
+    r.shuffle(uniq)
+    facts = {e: {} for e in entities}
+    for (e, a), v in zip(pairs, uniq):
+        facts[e][a] = v
     passages = []
     gold_row = {}
     for i, (e, a) in enumerate(pairs):
@@ -113,7 +121,9 @@ def build_tokenizers(tmp, texts):
 
 
 def run_train(tmp, name, steps, t5_dir, bert_dir, cpu, closed_book=False,
-              refresh_every=0, per_gpu_batch_size=None):
+              refresh_every=0, per_gpu_batch_size=None, use_file_passages=False,
+              model_path=None, train_file="train.jsonl", eval_freq=None,
+              lr=None):
     env = dict(os.environ, PYTHONPATH=REPO if cpu
                else f"{REPO}:{os.path.expanduser('~')}/.axon_site")
     if cpu:
@@ -121,22 +131,43 @@ def run_train(tmp, name, steps, t5_dir, bert_dir, cpu, closed_book=False,
         env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     args = [
         sys.executable, os.path.join(REPO, "train.py"),
-        "--tiny_model", "--name", name, "--checkpoint_dir", os.path.join(tmp, "ckpt"),
-        "--train_data", os.path.join(tmp, "train.jsonl"),
+        "--tiny_model", "--tiny_model_dim", "64",
+        "--name", name, "--checkpoint_dir", os.path.join(tmp, "ckpt"),
+        "--train_data", os.path.join(tmp, train_file),
         "--eval_data", os.path.join(tmp, "eval.jsonl"),
         "--passages", os.path.join(tmp, "passages.jsonl"),
         "--task", "qa", "--total_steps", str(steps),
         "--per_gpu_batch_size", str(per_gpu_batch_size or (1 if cpu else 8)),
-        "--n_context", "4", "--retriever_n_context", "4",
+        # n_context 16 of the 128-passage corpus: the random-init retriever
+        # puts the gold passage in context ~12.5% of the time, enough gold
+        # sightings for the reader's gold scores to ignite distillation (at
+        # 480 passages x top-4 the bootstrap probability was ~0.8% and the
+        # cycle never started — chip v3/v5)
+        "--n_context", "16", "--retriever_n_context", "16",
         "--text_maxlength", "64", "--target_maxlength", "8",
         "--generation_max_length", "8", "--warmup_steps", "4",
-        "--lr", "3e-3", "--lr_retriever", "1e-3", "--scheduler", "fixed",
-        "--log_freq", "10", "--eval_freq", str(max(steps // 2, 1)),
+        "--lr", str(lr if lr is not None else 3e-3),
+        "--lr_retriever", "1e-3", "--scheduler", "fixed",
+        "--log_freq", "10", "--eval_freq", str(eval_freq or max(steps // 2, 1)),
         "--save_freq", str(steps), "--dropout", "0.0",
+        # protect the random-init lexical prior while the reader is still
+        # noise (early gold scores would distill garbage into the retriever)
+        "--freeze_retriever_steps", str(max(steps // 6, 1)),
         "--reader_tokenizer_path", t5_dir, "--retriever_tokenizer_path", bert_dir,
         "--gold_score_mode", "ppmean", "--precision", "fp32", "--shuffle",
     ]
-    if closed_book:
+    if model_path:
+        args += ["--model_path", model_path]
+    if use_file_passages:
+        # phase 0 warms BOTH towers, as the reference's pretrained models do:
+        # the reader learns copy-from-context, and train_retriever distills
+        # "which of these 4 given passages is gold" into the retriever (the
+        # gold-score KL runs on file passages too — no index needed). Without
+        # the retriever warmup the joint phase starts with ~random retrieval,
+        # the reader can only fit train data by memorizing, and the copy skill
+        # + gold signal collapse together (chip v5/v6).
+        args += ["--use_file_passages", "--train_retriever"]
+    elif closed_book:
         args += ["--closed_book"]
     else:
         args += ["--train_retriever"]
@@ -174,7 +205,7 @@ def retriever_recall(tmp, name, t5_dir, bert_dir, gold_row, cpu, trained):
     if trained:
         step_dirs = [os.path.join(ckpt, "latest")]
     cfg = AtlasConfig(
-        task="qa", tiny_model=True, precision="fp32", n_context=4,
+        task="qa", tiny_model=True, tiny_model_dim=64, precision="fp32", n_context=4,
         retriever_n_context=4, text_maxlength=64, target_maxlength=8,
         generation_max_length=8, train_retriever=True, total_steps=1,
         checkpoint_dir=os.path.join(tmp, "rc"), name=f"rc_{trained}",
@@ -193,11 +224,17 @@ def retriever_recall(tmp, name, t5_dir, bert_dir, gold_row, cpu, trained):
                                      truncation=True, return_tensors="np")
     pemb = np.asarray(atlas._embed_jit(atlas.retriever_params, penc["input_ids"],
                                        penc["attention_mask"], is_passages=True))
+    # queries must go through the TASK FORMAT the retriever was trained on
+    # ("question: ... answer: <extra_id_0>"): raw questions mis-measure
+    from atlas_tpu.tasks import get_task
+
+    task = get_task(cfg, atlas.reader_tokenizer)
     qs = [e["question"] for e in evals]
-    qenc = atlas.retriever_tokenize(qs)
+    q_fmt = [task.process(dict(e))["query"] for e in evals]
+    qenc = atlas.retriever_tokenize(q_fmt)
     qemb = np.asarray(atlas.embed_queries_device(qenc["input_ids"],
                                                  qenc["attention_mask"]))
-    top1 = (qemb @ pemb.T).argmax(axis=1)
+    rank = np.argsort(-(qemb @ pemb.T), axis=1)
 
     def parse(q):  # "what is the {attr} of {entity}?"
         attr = q.split("what is the ")[1].split(" of ")[0]
@@ -205,7 +242,9 @@ def retriever_recall(tmp, name, t5_dir, bert_dir, gold_row, cpu, trained):
         return ent, attr
 
     gold = np.array([gold_row[parse(q)] for q in qs])
-    return float((top1 == gold).mean())
+    r1 = float((rank[:, 0] == gold).mean())
+    r16 = float((rank[:, :16] == gold[:, None]).any(axis=1).mean())
+    return r1, r16
 
 
 def main():
@@ -216,6 +255,7 @@ def main():
     # GLOBAL batch ~8: per-device batch is multiplied by local dp rows, so the
     # 8-device CPU mesh uses 1/device while the single-chip run uses 8
     ap.add_argument("--per_gpu_batch_size", type=int, default=None)
+    ap.add_argument("--phase0_steps", type=int, default=1500)
     ap.add_argument("--tmp", default=None)
     args = ap.parse_args()
 
@@ -236,25 +276,85 @@ def main():
              + ["question answer <extra_id_0> title context text"])
     t5_dir, bert_dir = build_tokenizers(tmp, texts)
 
+    # PHASE 0 — reader pretraining with GOLD passages provided
+    # (--use_file_passages): the reference recipe starts from a PRETRAINED
+    # reader whose per-passage gold likelihoods are informative from step 1;
+    # from-scratch joint training has no such bootstrap (chip v3: with a
+    # 480-passage corpus and random-init retrieval the copy rule never gets
+    # enough gold sightings to ignite). Train pairs only — held-out eval
+    # pairs stay unseen. The reader learns retrieve-agnostic copy; both the
+    # open recipe AND the closed-book control resume from this checkpoint.
+    # Phase-0 facts are INCONSISTENT across examples (a fresh random value per
+    # example): the same question maps to different answers in different
+    # examples, so memorizing q->a cannot fit the data — copying the value
+    # from the passage matching the question's (attr, entity) is the ONLY
+    # solution (test_learnability's infinite-random-pairs trick, via the CLI).
+    # chip v8 probe: with CONSISTENT phase-0 facts the tiny reader memorized
+    # (train preds right without gold in context, held-out copy dead).
+    r = random.Random(1)
+    attrs = ATTRS
+    ents = sorted({e for (e, a) in gold_row})
+    vals = sorted({q["answers"][0] for q in train_qa + eval_qa})
+    with open(os.path.join(tmp, "train_p0.jsonl"), "w") as f:
+        for _ in range(4000):
+            e, a = r.choice(ents), r.choice(attrs)
+            v = r.choice(vals)
+            gold = {"id": "g", "title": f"{e} {a}",
+                    "text": f"the {a} of {e} is {v} ."}
+            ctx = [gold]
+            for _d in range(3):
+                de, da = r.choice(ents), r.choice(attrs)
+                while (de, da) == (e, a):
+                    de, da = r.choice(ents), r.choice(attrs)
+                ctx.append({"id": "d", "title": f"{de} {da}",
+                            "text": f"the {da} of {de} is {r.choice(vals)} ."})
+            r.shuffle(ctx)
+            f.write(json.dumps({"question": f"what is the {a} of {e}?",
+                                "answers": [v], "passages": ctx}) + "\n")
+    p0_steps = args.phase0_steps
+    losses_p0, _, _ = run_train(tmp, "phase0", p0_steps,
+                                t5_dir, bert_dir, args.cpu,
+                                use_file_passages=True,
+                                per_gpu_batch_size=args.per_gpu_batch_size,
+                                train_file="train_p0.jsonl",
+                                # eval.jsonl has no passages field; skip eval
+                                # in the file-passages pretrain
+                                eval_freq=p0_steps * 10)
+    p0_ckpt = os.path.join(tmp, "ckpt", "phase0", "checkpoint", "latest")
+
+    # joint phase with the READER FROZEN (--lr 0): phase 0 made the reader a
+    # copy master whose gold scores identify the gold passage; letting it keep
+    # training lets it fit the train set by MEMORIZING answers for the ~60% of
+    # examples whose context lacks gold, which destroys both the copy skill
+    # and the gold signal (chip v7 probe: train preds 8/8 correct WITHOUT gold
+    # in context). Frozen-reader distillation is the production
+    # retriever-finetuning mode and mirrors tests/test_learnability.py at
+    # recipe scale.
     losses, ems, _ = run_train(tmp, "open", args.steps, t5_dir, bert_dir,
                                args.cpu, refresh_every=args.refresh_every,
-                               per_gpu_batch_size=args.per_gpu_batch_size)
+                               per_gpu_batch_size=args.per_gpu_batch_size,
+                               model_path=p0_ckpt, lr=0.0)
     losses_cb, ems_cb, _ = run_train(tmp, "closed", args.steps, t5_dir, bert_dir,
                                      args.cpu, closed_book=True,
-                                     per_gpu_batch_size=args.per_gpu_batch_size)
-    rec_after = retriever_recall(tmp, "open", t5_dir, bert_dir, gold_row,
-                                 args.cpu, trained=True)
-    rec_before = retriever_recall(tmp, "open", t5_dir, bert_dir, gold_row,
-                                  args.cpu, trained=False)
+                                     per_gpu_batch_size=args.per_gpu_batch_size,
+                                     model_path=p0_ckpt)
+    r1_after, r16_after = retriever_recall(tmp, "open", t5_dir, bert_dir,
+                                           gold_row, args.cpu, trained=True)
+    r1_before, r16_before = retriever_recall(tmp, "open", t5_dir, bert_dir,
+                                             gold_row, args.cpu, trained=False)
 
     result = {
         "steps": args.steps,
+        "phase0_loss_first": losses_p0[0] if losses_p0 else None,
+        "phase0_loss_last": losses_p0[-1] if losses_p0 else None,
         "loss_first": losses[0] if losses else None,
         "loss_last": losses[-1] if losses else None,
         "em_open": ems[-1] if ems else None,
         "em_closed_book": ems_cb[-1] if ems_cb else None,
-        "retriever_recall1_random_init": round(rec_before, 4),
-        "retriever_recall1_trained": round(rec_after, 4),
+        "retriever_recall1_random_init": round(r1_before, 4),
+        "retriever_recall1_trained": round(r1_after, 4),
+        "retriever_recall16_random_init": round(r16_before, 4),
+        "retriever_recall16_trained": round(r16_after, 4),
         "chance_recall1": round(1.0 / len(passages), 4),
         "tmp": tmp,
     }
