@@ -930,6 +930,11 @@ def bench_serve_e2e():
             "qps_device_search_only": round(B / dt_dev, 1),
             "embed_ms_per_batch": round(dt_emb * 1e3, 2),
             "host_overhead_ms_per_batch": round((dt - dt_dev - dt_emb) * 1e3, 2),
+            "note": "host overhead through the axon TUNNEL includes ~2 remote "
+                    "readback round-trips per batch (~100ms+); on directly "
+                    "attached TPU that term is PCIe-scale. The decomposition "
+                    "fields separate it from real host work (tokenize + "
+                    "DocStore resolve).",
             "baseline": "faiss-V100 flat anchor (reference search timing also "
                         "includes host doc resolution)"}
 

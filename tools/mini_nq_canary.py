@@ -123,7 +123,11 @@ def build_tokenizers(tmp, texts):
 def run_train(tmp, name, steps, t5_dir, bert_dir, cpu, closed_book=False,
               refresh_every=0, per_gpu_batch_size=None, use_file_passages=False,
               model_path=None, train_file="train.jsonl", eval_freq=None,
-              lr=None):
+              lr=None, n_context=16):
+    # n_context 16 of the 128-passage corpus in the joint phase: the
+    # random-init retriever puts the gold passage in context ~12.5% of the
+    # time, enough gold sightings to ignite distillation (at 480 passages x
+    # top-4 the bootstrap probability was ~0.8% and the cycle never started)
     env = dict(os.environ, PYTHONPATH=REPO if cpu
                else f"{REPO}:{os.path.expanduser('~')}/.axon_site")
     if cpu:
@@ -138,12 +142,7 @@ def run_train(tmp, name, steps, t5_dir, bert_dir, cpu, closed_book=False,
         "--passages", os.path.join(tmp, "passages.jsonl"),
         "--task", "qa", "--total_steps", str(steps),
         "--per_gpu_batch_size", str(per_gpu_batch_size or (1 if cpu else 8)),
-        # n_context 16 of the 128-passage corpus: the random-init retriever
-        # puts the gold passage in context ~12.5% of the time, enough gold
-        # sightings for the reader's gold scores to ignite distillation (at
-        # 480 passages x top-4 the bootstrap probability was ~0.8% and the
-        # cycle never started — chip v3/v5)
-        "--n_context", "16", "--retriever_n_context", "16",
+        "--n_context", str(n_context), "--retriever_n_context", str(n_context),
         "--text_maxlength", "64", "--target_maxlength", "8",
         "--generation_max_length", "8", "--warmup_steps", "4",
         "--lr", str(lr if lr is not None else 3e-3),
@@ -155,6 +154,10 @@ def run_train(tmp, name, steps, t5_dir, bert_dir, cpu, closed_book=False,
         "--freeze_retriever_steps", str(max(steps // 6, 1)),
         "--reader_tokenizer_path", t5_dir, "--retriever_tokenizer_path", bert_dir,
         "--gold_score_mode", "ppmean", "--precision", "fp32", "--shuffle",
+        # terse formats (the shapes tests/test_learnability.py proved learnable
+        # at tiny dims): less template noise between the matching tokens
+        "--qa_prompt_format", "q: {question}",
+        "--encoder_format", "{query} {text}",
     ]
     if model_path:
         args += ["--model_path", model_path]
@@ -205,7 +208,9 @@ def retriever_recall(tmp, name, t5_dir, bert_dir, gold_row, cpu, trained):
     if trained:
         step_dirs = [os.path.join(ckpt, "latest")]
     cfg = AtlasConfig(
-        task="qa", tiny_model=True, tiny_model_dim=64, precision="fp32", n_context=4,
+        task="qa", qa_prompt_format="q: {question}",
+        encoder_format="{query} {text}",
+        tiny_model=True, tiny_model_dim=64, precision="fp32", n_context=4,
         retriever_n_context=4, text_maxlength=64, target_maxlength=8,
         generation_max_length=8, train_retriever=True, total_steps=1,
         checkpoint_dir=os.path.join(tmp, "rc"), name=f"rc_{trained}",
@@ -273,7 +278,7 @@ def main():
             f.write(json.dumps(q) + "\n")
     texts = ([p["title"] + " " + p["text"] for p in passages]
              + [q["question"] + " " + q["answers"][0] for q in train_qa]
-             + ["question answer <extra_id_0> title context text"])
+             + ["question answer <extra_id_0> title context text : . ? q"])
     t5_dir, bert_dir = build_tokenizers(tmp, texts)
 
     # PHASE 0 — reader pretraining with GOLD passages provided
@@ -295,10 +300,25 @@ def main():
     attrs = ATTRS
     ents = sorted({e for (e, a) in gold_row})
     vals = sorted({q["answers"][0] for q in train_qa + eval_qa})
+    # curriculum (the shape tests/test_learnability.py PROVED learnable at
+    # these dims): 0a = copy-only, ONE gold passage per example — no selection
+    # ambiguity, the reader must read; 0b = gold + 3 distractors — learns
+    # selection on top of the copy skill. Without 0a the selection task
+    # plateaus at ln(4) = "one of the in-context values" (chip v9/v10/v11).
+    def fact(r):
+        e, a = r.choice(ents), r.choice(attrs)
+        return e, a, r.choice(vals)
+
+    with open(os.path.join(tmp, "train_p0a.jsonl"), "w") as f:
+        for _ in range(4000):
+            e, a, v = fact(r)
+            f.write(json.dumps({
+                "question": f"what is the {a} of {e}?", "answers": [v],
+                "passages": [{"id": "g", "title": f"{e} {a}",
+                              "text": f"the {a} of {e} is {v} ."}]}) + "\n")
     with open(os.path.join(tmp, "train_p0.jsonl"), "w") as f:
         for _ in range(4000):
-            e, a = r.choice(ents), r.choice(attrs)
-            v = r.choice(vals)
+            e, a, v = fact(r)
             gold = {"id": "g", "title": f"{e} {a}",
                     "text": f"the {a} of {e} is {v} ."}
             ctx = [gold]
@@ -312,9 +332,17 @@ def main():
             f.write(json.dumps({"question": f"what is the {a} of {e}?",
                                 "answers": [v], "passages": ctx}) + "\n")
     p0_steps = args.phase0_steps
+    losses_p0a, _, _ = run_train(tmp, "phase0a", max(p0_steps // 2, 800),
+                                 t5_dir, bert_dir, args.cpu,
+                                 use_file_passages=True, lr=1e-3, n_context=1,
+                                 per_gpu_batch_size=args.per_gpu_batch_size,
+                                 train_file="train_p0a.jsonl",
+                                 eval_freq=p0_steps * 10)
+    p0a_ckpt = os.path.join(tmp, "ckpt", "phase0a", "checkpoint", "latest")
     losses_p0, _, _ = run_train(tmp, "phase0", p0_steps,
                                 t5_dir, bert_dir, args.cpu,
-                                use_file_passages=True,
+                                use_file_passages=True, lr=1e-3, n_context=4,
+                                model_path=p0a_ckpt,
                                 per_gpu_batch_size=args.per_gpu_batch_size,
                                 train_file="train_p0.jsonl",
                                 # eval.jsonl has no passages field; skip eval
@@ -345,6 +373,7 @@ def main():
 
     result = {
         "steps": args.steps,
+        "phase0a_loss_last": losses_p0a[-1] if losses_p0a else None,
         "phase0_loss_first": losses_p0[0] if losses_p0 else None,
         "phase0_loss_last": losses_p0[-1] if losses_p0 else None,
         "loss_first": losses[0] if losses else None,
