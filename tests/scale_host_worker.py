@@ -18,6 +18,17 @@ N = 2_000_000
 
 
 def rss_gib() -> float:
+    # VmHWM = peak resident of the CURRENT address space. ru_maxrss is a
+    # per-task watermark that SURVIVES exec: this worker, forked from a pytest
+    # process that has grown to ~6 GiB after 200 tests, inherits the parent's
+    # peak and reads 6.01 GiB before doing any work — the r05 full-suite-only
+    # failure of this drill (isolated runs, with a small parent, read 0.4).
+    # Verified: a child of a 700 MB parent reports ru_maxrss 831 MB but
+    # VmHWM 164 MB.
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmHWM:"):
+                return int(line.split()[1]) / 2**20  # kB -> GiB
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
 
 

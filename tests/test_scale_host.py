@@ -17,13 +17,12 @@ WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "scale_host_wo
 def test_2m_passage_host_accounting(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo",
                XLA_FLAGS="--xla_force_host_platform_device_count=8")
-    # One retry, with the worker output persisted either way: the r05 full
-    # suite failed this test twice while EVERY standalone reproduction passed
-    # (isolated 34s, after test_scale_geometry, under a CPU hog; worker RSS
-    # measures 1.94 GiB vs the 6.0 ceiling — nowhere near marginal). The
-    # worker's logic asserts are deterministic, so a retried pass means an
-    # environmental flake and /tmp/scale_host_worker.log holds the evidence
-    # for whichever run fails next.
+    # Root cause of the r05 full-suite-only failures: the worker measured
+    # ru_maxrss, a per-task watermark that survives exec — forked from the
+    # ~6 GiB late-suite pytest process it read 6.01 GiB before doing any work
+    # (own peak: 1.94). The worker now reads VmHWM (per-address-space, resets
+    # at exec). The retry + persisted /tmp/scale_host_worker.log stay as
+    # diagnosis for any future environment-dependent failure.
     last = None
     for attempt in range(2):
         work = tmp_path / f"run{attempt}"
