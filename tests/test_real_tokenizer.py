@@ -169,3 +169,41 @@ def test_make_batch_and_generate_end_to_end(real_atlas, devices):
     # decodes without raising; pad/eos are skippable
     text = atlas.reader_tokenizer.batch_decode(out, skip_special_tokens=True)
     assert isinstance(text[0], str)
+
+
+def test_tokenizer_thread_safety(real_atlas):
+    """HF fast tokenizers panic ("Already borrowed") when two threads enter one
+    tokenizer — and the framework tokenizes concurrently by design (the train
+    loop's pretokenize worker + the refresh embedder's slab thread + the main
+    thread). Atlas wraps both tokenizer objects in a locking facade; this
+    hammers them from 4 threads and must see zero rust panics. Without the
+    facade this fails within a few iterations (found by the r05 chip canary,
+    which crashed mid-overlapped-refresh)."""
+    import threading
+
+    atlas = real_atlas
+    errors = []
+
+    def hammer(kind):
+        try:
+            for i in range(60):
+                if kind == 0:
+                    atlas.pretokenize([f"question {i} about topic {i % 7}?"],
+                                      [f"answer {i}"])
+                elif kind == 1:
+                    atlas.retriever_tokenize([f"this is passage number {i}"])
+                elif kind == 2:
+                    atlas.tokenize_passages(
+                        [f"question {i}?"],
+                        [[{"title": f"t{i}", "text": f"passage number {i}"}]])
+                else:
+                    atlas.reader_tokenizer.decode([5, 6, 7])
+        except Exception as e:  # pragma: no cover - the failure being pinned
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=hammer, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
